@@ -1,0 +1,89 @@
+"""Odometry configuration.
+
+Exposes the reference's 8 ROS parameters (reference
+src/lidar_odometry.h:36-48) *plus* the constants the reference hard-codes in
+its matcher/classifier (src/cloud_matcher.cpp:111-139,153,169 and
+src/utils/cloud_classifier.h:83-112) since they define the accuracy envelope,
+*plus* the static-shape capacities that a TPU build needs (padded point
+budgets, voxel-table capacity) which have no reference analogue because PCL
+clouds and robin_map grow dynamically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    # --- reference ROS parameters (src/lidar_odometry.h:36-48 defaults) ---
+    lidar_min_range: float = 4.0
+    lidar_max_range: float = 80.0
+    keyframe_voxel_size: float = 0.2
+    keyframe_max_points_cnt: int = 20
+    keyframe_matching_voxel_size: float = 0.3
+    keyframe_update_voxel_size: float = 0.1
+    keyframe_cleanup_range: float = 80.0
+    angular_divergence_threshold: float = 5.0  # degrees
+
+    # --- reference hard-coded matcher constants (src/cloud_matcher.cpp) ---
+    icp_max_correspondence_distance: float = 0.3  # :139
+    icp_huber_delta: float = 0.15                 # :134 HuberLoss(0.15)
+    icp_translation_prior_sigma: float = 0.1      # :153 NormalPrior diag(0.1)^-1
+    icp_max_outer_iterations: int = 35            # :117
+    icp_inner_iterations: int = 4                 # :111 max_num_iterations
+    icp_convergence_step_norm: float = 1e-4       # :169 step_norm threshold
+    icp_min_outer_iterations: int = 4             # :169 "&& (i>3)"
+    icp_damping: float = 1e-6  # relative LM damping on the 6x6 (Ceres trust region analogue)
+
+    # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---
+    curvature_window: int = 4          # :83
+    curvature_invalid_value: float = 1000.0  # :84 intensity_max
+    min_valid_range_sq: float = 0.1    # :88 range^2 < 0.1 -> invalid
+    normals_window: int = 4            # :109
+    flatness_threshold: float = 0.05   # :112
+    neighbor_flatness_factor: float = 10.0  # :125 threshold*10 for neighbours
+
+    # --- static-shape capacities (TPU-native; no reference analogue) ---
+    num_rings: int = 16            # VLP16 (reference README.md:12, lidar_point_type.h)
+    scan_width: int = 1800         # azimuth bins; VLP16 @10Hz ~0.2deg -> 1800
+    max_raw_points: int = 32768    # padded raw scan capacity (16*1800=28800 fits)
+    max_planar_points: int = 16384  # planar-feature budget after classification
+    max_match_points: int = 8192   # matching-downsample budget (0.3 m grid)
+    max_update_points: int = 16384  # keyframe-update budget (0.1 m grid)
+    map_capacity: int = 131072     # voxel-table slots (2^17)
+    # voxel-key packing: 11/11/10 bits (x/y/z) around a rebasable integer
+    # origin; rebase when the sensor drifts this far from the map origin.
+    map_rebase_distance: float = 50.0
+
+    # numerical dtype for point geometry. bf16 is too coarse for cm-level
+    # registration; f32 everywhere, tiny 6x6 solve also f32 (delta-pose
+    # parameterization keeps it well-conditioned; Ceres uses f64 but solves
+    # absolute quaternions).
+    dtype: str = "float32"
+
+    def replace(self, **kw: Any) -> "OdometryConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "OdometryConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - fields
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        return cls(**dict(d))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+# Small shapes for unit tests / dry runs: keeps compile times low.
+TINY = OdometryConfig(
+    scan_width=128,
+    max_raw_points=2048,
+    max_planar_points=1024,
+    max_match_points=512,
+    max_update_points=1024,
+    map_capacity=4096,
+)

@@ -1,0 +1,83 @@
+"""Scan preprocessing: time normalization, range filter, deskew.
+
+TPU-native rewrites of the reference's parallel-STL preprocessing utilities:
+- utils::pointTimeNormalize (reference src/utils/point_time_normalize.h:15-39)
+- utils::rangeFilter        (reference src/utils/range_filter.h:13-28)
+- CloudTransformer::transformNonRigid / transform / transformWithNormals
+  (reference src/utils/cloud_transform.h:16-97)
+
+All are masked vector ops over padded arrays; "filtering" clears mask bits
+instead of erasing, keeping shapes static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lidar_odometry_demo_tpu.ops import se3
+from lidar_odometry_demo_tpu.ops.cloud import LidarScan, PointsWithNormals
+
+_BIG = jnp.float32(3.0e38)
+
+
+def time_normalize(scan: LidarScan) -> LidarScan:
+    """Rescale per-point timestamps to [0, 1] over the scan.
+
+    Semantics of utils::pointTimeNormalize (reference
+    point_time_normalize.h:15-39): min/max over the scan, then
+    (t - min) / (max - min). Invalid (padded) points are excluded from the
+    min/max but still rescaled (they are masked anyway).
+    """
+    t = scan.time
+    tmin = jnp.min(jnp.where(scan.valid, t, _BIG))
+    tmax = jnp.max(jnp.where(scan.valid, t, -_BIG))
+    return scan._replace(time=(t - tmin) / (tmax - tmin))
+
+
+def range_filter_mask(xyz: jax.Array, valid: jax.Array, min_range: float, max_range: float) -> jax.Array:
+    """Keep points with min_range <= ||p|| <= max_range.
+
+    Squared-distance compare like utils::rangeFilter (reference
+    range_filter.h:14-22); returns an updated validity mask.
+    """
+    sq = jnp.sum(xyz * xyz, axis=-1)
+    return valid & (sq >= min_range * min_range) & (sq <= max_range * max_range)
+
+
+def range_filter(pts: PointsWithNormals, min_range: float, max_range: float) -> PointsWithNormals:
+    return pts._replace(valid=range_filter_mask(pts.xyz, pts.valid, min_range, max_range))
+
+
+def deskew(scan: LidarScan, start_pose: se3.Pose, end_pose: se3.Pose) -> LidarScan:
+    """Continuous-time non-rigid deskew.
+
+    Reference semantics (CloudTransformer::transformNonRigid,
+    cloud_transform.h:26-30), including its quirk: per point at normalized
+    time t, rotation = slerp(t) from start to end, but translation =
+    start.t * t + end.t * (1 - t) (translation interpolates *backwards*).
+    """
+    n = scan.capacity
+    q0 = jnp.broadcast_to(start_pose.q, (n, 4))
+    q1 = jnp.broadcast_to(end_pose.q, (n, 4))
+    q_t = se3.quat_slerp(q0, q1, scan.time)
+    rotated = se3.quat_rotate(q_t, scan.xyz)
+    trans = (
+        start_pose.t[None, :] * scan.time[:, None]
+        + end_pose.t[None, :] * (1.0 - scan.time[:, None])
+    )
+    return scan._replace(xyz=rotated + trans)
+
+
+def transform_scan(scan: LidarScan, pose: se3.Pose) -> LidarScan:
+    """Rigid transform (CloudTransformer::transform, cloud_transform.h:44-66)."""
+    return scan._replace(xyz=se3.transform_points(pose, scan.xyz))
+
+
+def transform_with_normals(pts: PointsWithNormals, pose: se3.Pose) -> PointsWithNormals:
+    """Rigid transform rotating normals too
+    (CloudTransformer::transformWithNormals, cloud_transform.h:69-97)."""
+    return pts._replace(
+        xyz=se3.transform_points(pose, pts.xyz),
+        normal=se3.quat_rotate(pose.q[None, :], pts.normal),
+    )
