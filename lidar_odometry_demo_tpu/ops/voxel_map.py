@@ -1,0 +1,396 @@
+"""Sorted-key voxel map: the TPU-native replacement for the reference's
+hash-voxel grid.
+
+The reference's `VoxelGrid` (src/voxel_grid.h:17-257) is a robin_map from
+int64 voxel indices to capped point lists, serving triple duty as
+downsampler, keyframe map, and NN-search index. Pointer-chasing hash tables
+don't map to TPUs; this module re-designs the structure as fixed-capacity
+sorted arrays:
+
+- voxel coords quantized by truncation toward zero — reproducing the
+  reference's `(int64)(x / voxel_size)` quirk where the 8 voxels around the
+  origin merge (voxel_grid.h:68-75),
+- coords packed into a single uint32 key (11/11/10 bits for x/y/z) relative
+  to a rebasable integer origin; the radius-evicted map (80 m) always fits,
+- the table is kept sorted by key: lookup is a vectorized binary search
+  (O(log C) gathers), insertion is scatter + one XLA sort, eviction is a
+  mask + re-sort. Sorting beats hashing on TPU: no collisions, no probing,
+  deterministic first-come-kept semantics via stable sort.
+
+Per-voxel semantics match the reference: capacity-capped point lists that
+keep the first `max_points` arrivals and drop overflow (voxel_grid.h:77-93),
+the first stored point acting as the eviction anchor (voxel_with_planes.h:32),
+and 27-neighborhood brute-force nearest-point search under a distance gate
+returning the stored normal as the matching plane (voxel_grid.h:164-204).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
+
+# uint32 key packing: x:[21..31] (11 bits), y:[10..20] (11 bits), z:[0..9] (10 bits)
+_XB, _YB, _ZB = 11, 11, 10
+_XOFF, _YOFF, _ZOFF = 1 << (_XB - 1), 1 << (_YB - 1), 1 << (_ZB - 1)
+EMPTY_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+class VoxelMap(NamedTuple):
+    """Fixed-capacity voxel table, sorted by packed key.
+
+    keys:   (C,)      uint32, ascending, EMPTY_KEY-padded
+    count:  (C,)      int32 points stored per voxel
+    pts:    (C, K, 3) float32 stored points (world frame)
+    nrm:    (C, K, 3) float32 stored unit normals
+    origin: (3,)      int32 integer-index origin the keys are relative to
+    """
+
+    keys: jax.Array
+    count: jax.Array
+    pts: jax.Array
+    nrm: jax.Array
+    origin: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def max_points(self) -> int:
+        return self.pts.shape[1]
+
+
+class Correspondence(NamedTuple):
+    """Match of a query point against the map (voxel_grid.h:40-46)."""
+
+    source_local: jax.Array  # (Q, 3) query point in its local frame
+    plane_origin: jax.Array  # (Q, 3) matched stored point
+    plane_normal: jax.Array  # (Q, 3) matched stored normal
+    valid: jax.Array         # (Q,)
+
+
+def voxel_indices(xyz: jax.Array, voxel_size: float) -> jax.Array:
+    """Integer voxel index by truncation toward zero (voxel_grid.h:68-75)."""
+    return jnp.trunc(xyz / voxel_size).astype(jnp.int32)
+
+
+def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array) -> jax.Array:
+    """Pack relative integer indices into sortable uint32 keys.
+
+    Out-of-range indices (beyond the 11/11/10-bit window around origin) and
+    invalid entries map to EMPTY_KEY, which sorts after every valid key.
+    """
+    rel = idx - origin
+    rx = rel[..., 0] + _XOFF
+    ry = rel[..., 1] + _YOFF
+    rz = rel[..., 2] + _ZOFF
+    in_range = (
+        (rx >= 0) & (rx < (1 << _XB) - 1)
+        & (ry >= 0) & (ry < (1 << _YB) - 1)
+        & (rz >= 0) & (rz < (1 << _ZB) - 1)
+    )
+    key = (
+        rx.astype(jnp.uint32) << (_YB + _ZB)
+    ) | (ry.astype(jnp.uint32) << _ZB) | rz.astype(jnp.uint32)
+    return jnp.where(valid & in_range, key, EMPTY_KEY)
+
+
+def _shift_key(delta: jax.Array) -> jax.Array:
+    """Key-space shift corresponding to an origin move by integer `delta`.
+
+    Subtracting this constant from every valid key re-bases the whole table
+    without re-sorting (a uniform shift preserves lexicographic order as
+    long as coordinates stay in range, which radius eviction guarantees).
+    """
+    return (
+        delta[0].astype(jnp.uint32) << (_YB + _ZB)
+    ) + (delta[1].astype(jnp.uint32) << _ZB) + delta[2].astype(jnp.uint32)
+
+
+def map_init(capacity: int, max_points: int) -> VoxelMap:
+    return VoxelMap(
+        keys=jnp.full((capacity,), EMPTY_KEY, jnp.uint32),
+        count=jnp.zeros((capacity,), jnp.int32),
+        pts=jnp.zeros((capacity, max_points, 3), jnp.float32),
+        nrm=jnp.zeros((capacity, max_points, 3), jnp.float32),
+        origin=jnp.zeros((3,), jnp.int32),
+    )
+
+
+def map_size(m: VoxelMap) -> jax.Array:
+    """Number of occupied voxels (reference voxel_grid.h:248-251)."""
+    return jnp.sum((m.keys != EMPTY_KEY).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# grouping helpers over key-sorted arrays
+# ---------------------------------------------------------------------------
+
+def _group_structure(sorted_keys: jax.Array):
+    """For a sorted key array return (leader, rank, start_pos).
+
+    leader: True at the first element of each equal-key run (EMPTY excluded)
+    rank:   position within the run
+    start:  index of the run's leader, per element
+    """
+    n = sorted_keys.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    valid = sorted_keys != EMPTY_KEY
+    prev = jnp.concatenate([jnp.array([EMPTY_KEY], sorted_keys.dtype), sorted_keys[:-1]])
+    leader = valid & (sorted_keys != prev)
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(leader, pos, -1))
+    rank = pos - start
+    return leader, rank, start
+
+
+# ---------------------------------------------------------------------------
+# downsampling grid (reference: VoxelGrid(voxel, 1) used as a filter,
+# lidar_odometry.cpp:37-47)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("voxel_size", "budget"))
+def downsample(pts: PointsWithNormals, voxel_size: float, budget: int) -> PointsWithNormals:
+    """1-point-per-voxel downsampling keeping the first point per voxel in
+    input order (reference addCloud with max_points=1, voxel_grid.h:77-93),
+    compacted to a fixed `budget`.
+
+    Scan-local: uses a zero origin; inputs must be within the key window
+    (true after the 80 m range gate).
+    """
+    zero_origin = jnp.zeros((3,), jnp.int32)
+    keys = pack_keys(voxel_indices(pts.xyz, voxel_size), zero_origin, pts.valid)
+    order = jnp.argsort(keys, stable=True)  # ties keep input order
+    sorted_keys = keys[order]
+    leader, _, _ = _group_structure(sorted_keys)
+    # compact leaders to the front (stable: stays in key order)
+    comp = jnp.argsort(~leader, stable=True)[:budget]
+    src = order[comp]
+    ok = leader[comp]
+    in_budget = jnp.arange(budget) < jnp.sum(leader.astype(jnp.int32))
+    ok = ok & in_budget
+    return PointsWithNormals(
+        xyz=jnp.where(ok[:, None], pts.xyz[src], 0.0),
+        normal=jnp.where(ok[:, None], pts.normal[src], 0.0),
+        valid=ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyframe map insert (reference addCloud, voxel_grid.h:77-93)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("voxel_size",))
+def map_insert(m: VoxelMap, new: PointsWithNormals, *, voxel_size: float) -> VoxelMap:
+    """Insert points (world frame) with first-come-kept capping semantics.
+
+    New points join existing voxels only while `count < max_points`
+    (drop overflow, voxel_grid.h:88-91); new voxels are appended into free
+    slots and the table re-sorted. Deterministic: incoming points are
+    processed in input order within each voxel (stable sort), voxels in key
+    order.
+    """
+    C, K = m.capacity, m.max_points
+    keys = pack_keys(voxel_indices(new.xyz, voxel_size), m.origin, new.valid)
+
+    order = jnp.argsort(keys, stable=True)
+    skeys = keys[order]
+    sxyz = new.xyz[order]
+    snrm = new.normal[order]
+    leader, rank, start = _group_structure(skeys)
+    valid_e = skeys != EMPTY_KEY
+
+    # lookup each (distinct) key in the existing table
+    pos = jnp.searchsorted(m.keys, skeys).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, C - 1)
+    found = valid_e & (m.keys[pos_c] == skeys)
+
+    # fresh-slot assignment for missing groups
+    n_used = map_size(m)
+    missing_leader = leader & ~found
+    fresh_idx = jnp.cumsum(missing_leader.astype(jnp.int32)) - 1
+    fresh_slot = n_used + fresh_idx  # only meaningful at missing leaders
+
+    # per-element slot & base write index, broadcast from the group leader
+    slot_at_pos = jnp.where(found, pos_c, fresh_slot)  # value valid at leaders
+    slot = slot_at_pos[start]
+    existing_cnt = jnp.where(found, m.count[pos_c], 0)
+    base = existing_cnt[start]
+    write_idx = base + rank
+
+    keep = valid_e & (write_idx < K) & (slot < C) & (slot >= 0)
+    slot_w = jnp.where(keep, slot, C)  # out-of-range -> dropped
+    pts2 = m.pts.at[slot_w, jnp.where(keep, write_idx, 0)].set(
+        sxyz, mode="drop"
+    )
+    nrm2 = m.nrm.at[slot_w, jnp.where(keep, write_idx, 0)].set(
+        snrm, mode="drop"
+    )
+
+    # counts: one scatter per leader with the clamped new count.
+    # Group end = next key-change position (including the change into the
+    # EMPTY-padded tail, which is not a leader but is a boundary).
+    n = len(keep)
+    prev_key = jnp.concatenate([jnp.array([EMPTY_KEY], skeys.dtype), skeys[:-1]])
+    boundary = jnp.concatenate(
+        [jnp.array([True]), (skeys != prev_key)[1:]]
+    )
+    nxt = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(boundary, jnp.arange(n, dtype=jnp.int32), n),
+        reverse=True,
+    )
+    # nxt[i] = nearest boundary at-or-after i; strict next boundary for a
+    # leader at p is nxt[p+1] (or N at the end)
+    nxt_strict = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
+    group_size = jnp.where(leader, nxt_strict - jnp.arange(len(keep), dtype=jnp.int32), 0)
+    new_count = jnp.minimum(K, base + group_size)
+    cnt_slot = jnp.where(leader & (slot < C) & (slot >= 0), slot, C)
+    count2 = m.count.at[cnt_slot].set(jnp.where(leader, new_count, 0), mode="drop")
+
+    # register fresh keys
+    key_slot = jnp.where(missing_leader & (slot < C), slot, C)
+    keys2 = m.keys.at[key_slot].set(skeys, mode="drop")
+
+    # re-sort table by key
+    perm = jnp.argsort(keys2)
+    return VoxelMap(
+        keys=keys2[perm],
+        count=count2[perm],
+        pts=pts2[perm],
+        nrm=nrm2[perm],
+        origin=m.origin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# radius eviction + origin rebase (reference radiusCleanup, voxel_grid.h:236-246)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("radius", "voxel_size"))
+def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float, voxel_size: float) -> VoxelMap:
+    """Erase voxels whose *first stored point* is farther than `radius` from
+    `center` (the reference anchors eviction on VoxelWithPlanes::getOrigin,
+    voxel_with_planes.h:32-35), then re-base the key origin to the current
+    center so the coordinate window tracks the sensor.
+    """
+    anchors = m.pts[:, 0, :]
+    d2 = jnp.sum((anchors - center) ** 2, axis=-1)
+    keep = (m.keys != EMPTY_KEY) & (d2 <= radius * radius)
+    keys = jnp.where(keep, m.keys, EMPTY_KEY)
+    count = jnp.where(keep, m.count, 0)
+
+    # rebase: shift all valid keys by the origin delta (order-preserving)
+    new_origin = voxel_indices(center, voxel_size)
+    shift = _shift_key(new_origin - m.origin)
+    keys = jnp.where(keys != EMPTY_KEY, keys - shift, EMPTY_KEY)
+
+    perm = jnp.argsort(keys)
+    return VoxelMap(
+        keys=keys[perm],
+        count=count[perm],
+        pts=m.pts[perm],
+        nrm=m.nrm[perm],
+        origin=new_origin,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 27-neighborhood correspondence search (reference getCorrespondence /
+# findMatchingPairs, voxel_grid.h:164-234)
+# ---------------------------------------------------------------------------
+
+_NEIGHBOR_OFFSETS = jnp.array(
+    [[ix, iy, iz] for ix in (-1, 0, 1) for iy in (-1, 0, 1) for iz in (-1, 0, 1)],
+    jnp.int32,
+)  # (27, 3) in the reference's ix/iy/iz scan order (voxel_grid.h:175-177)
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "max_distance"))
+def find_correspondences(
+    m: VoxelMap,
+    query_local: jax.Array,
+    query_valid: jax.Array,
+    pose_t: jax.Array,
+    pose_R: jax.Array,
+    *,
+    voxel_size: float,
+    max_distance: float,
+) -> Correspondence:
+    """For each query point (local frame), transform by the pose estimate and
+    find the nearest stored point within `max_distance` over the 3x3x3 voxel
+    neighborhood; the match's stored normal defines the plane.
+
+    Mirrors findMatchingPairs (voxel_grid.h:206-234): transform with the
+    *current* pose estimate, brute-force nearest under a squared-distance
+    gate, first-minimum tie-breaking in (voxel, insertion) order.
+    """
+    C, K = m.capacity, m.max_points
+    q_world = query_local @ pose_R.T + pose_t  # (Q, 3)
+
+    base_idx = voxel_indices(q_world, voxel_size)  # (Q, 3)
+    nb_idx = base_idx[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (Q, 27, 3)
+    nb_keys = pack_keys(nb_idx, m.origin, query_valid[:, None])  # (Q, 27)
+
+    pos = jnp.searchsorted(m.keys, nb_keys.reshape(-1)).astype(jnp.int32)
+    pos = jnp.minimum(pos, C - 1).reshape(nb_keys.shape)  # (Q, 27)
+    hit = (m.keys[pos] == nb_keys) & (nb_keys != EMPTY_KEY)
+
+    cand_pts = m.pts[pos]  # (Q, 27, K, 3)
+    cand_nrm = m.nrm[pos]
+    cand_ok = hit[..., None] & (jnp.arange(K)[None, None, :] < m.count[pos][..., None])
+
+    d2 = jnp.sum((cand_pts - q_world[:, None, None, :]) ** 2, axis=-1)  # (Q, 27, K)
+    max_d2 = jnp.float32(max_distance * max_distance)
+    d2 = jnp.where(cand_ok & (d2 < max_d2), d2, jnp.inf)
+
+    flat = d2.reshape(d2.shape[0], -1)
+    best = jnp.argmin(flat, axis=-1)  # first minimum, matching reference order
+    best_d2 = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
+    valid = query_valid & jnp.isfinite(best_d2)
+
+    qi = jnp.arange(flat.shape[0])
+    plane_origin = cand_pts.reshape(flat.shape[0], -1, 3)[qi, best]
+    plane_normal = cand_nrm.reshape(flat.shape[0], -1, 3)[qi, best]
+    return Correspondence(
+        source_local=query_local,
+        plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
+        plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
+        valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# exports (reference getCloud / getCloudWithoutNormals /
+# getSparseCloudWithoutNormals, voxel_grid.h:112-162) — host-side helpers
+# ---------------------------------------------------------------------------
+
+def get_cloud(m: VoxelMap):
+    """All stored (point, normal) pairs as numpy arrays (voxel_grid.h:112-129)."""
+    import numpy as np
+
+    keys = np.asarray(m.keys)
+    count = np.asarray(m.count)
+    pts = np.asarray(m.pts)
+    nrm = np.asarray(m.nrm)
+    out_p, out_n = [], []
+    for i in np.nonzero(keys != np.uint32(0xFFFFFFFF))[0]:
+        c = count[i]
+        out_p.append(pts[i, :c])
+        out_n.append(nrm[i, :c])
+    if not out_p:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    return np.concatenate(out_p), np.concatenate(out_n)
+
+
+def get_sparse_cloud(m: VoxelMap):
+    """One point per voxel (the first stored), numpy (voxel_grid.h:149-162)."""
+    import numpy as np
+
+    keys = np.asarray(m.keys)
+    sel = keys != np.uint32(0xFFFFFFFF)
+    return np.asarray(m.pts)[sel, 0, :]
