@@ -1,0 +1,174 @@
+"""Point-to-plane ICP with a hand-rolled Gauss-Newton solver on SE(3).
+
+TPU-native replacement for the reference's CloudMatcher + Ceres stack
+(reference src/cloud_matcher.cpp:105-178). The reference builds a fresh
+Ceres problem per outer iteration — quaternion manifold (4) + translation
+(3) blocks, one point-to-plane residual per correspondence with Huber(0.15)
+loss, a NormalPrior pulling translation toward the initial guess, solved by
+DENSE_QR for <=4 LM iterations — looping <=35 times with re-correspondence,
+converging when the last step norm drops below 1e-4 after >=4 outer rounds.
+
+Here the same optimization is expressed as fused dense linear algebra:
+- residual r_i = n_i . (R p_i + t - o_i)  (cloud_matcher.cpp:55)
+- local parameterization: left-multiplicative rotation-vector delta
+  (R <- exp(w) R, t <- t + dt), mathematically equivalent to the
+  quaternion manifold for this residual,
+- analytic Jacobian J_i = [ (R p_i) x n_i , n_i ]  (1x6) — the se(3)
+  counterpart of the reference's hand-derived dR/dq terms
+  (cloud_matcher.cpp:57-98),
+- Huber via IRLS weights w_i = min(1, delta/|r_i|),
+- normal equations accumulated as one masked einsum: H = J^T W J (6x6),
+  b = J^T W r (6,) — an MXU-shaped matmul, and a single psum when the
+  correspondence set is sharded across devices,
+- 6x6 solve with light Levenberg damping, lax.while_loop around the
+  (re-correspondence -> 4 GN steps) cycle with the reference's schedule.
+
+Invalid correspondences participate with zero weight: shapes stay static.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lidar_odometry_demo_tpu.config import OdometryConfig
+from lidar_odometry_demo_tpu.ops import se3
+from lidar_odometry_demo_tpu.ops import voxel_map as vm
+
+
+class IcpResult(NamedTuple):
+    pose: se3.Pose
+    iterations: jax.Array     # outer iterations executed
+    step_norm: jax.Array      # last GN step norm
+    num_matches: jax.Array    # correspondences in the last outer iteration
+
+
+def _normal_equations(
+    corr: vm.Correspondence,
+    pose: se3.Pose,
+    guess_t: jax.Array,
+    cfg: OdometryConfig,
+    axis_name: str | None = None,
+):
+    """Accumulate H (6,6), b (6,), cost terms for the current pose.
+
+    The parameter order is (rotation delta w, translation delta dt).
+    Includes the reference's translation prior: NormalPrior with
+    A = diag(1/sigma) on (t - t_guess) (cloud_matcher.cpp:153-154) adds
+    A^T A to H_tt and A^T A (t - guess) to b_t.
+    """
+    R = se3.quat_to_matrix(pose.q)
+    p_w = corr.source_local @ R.T + pose.t
+    r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)  # (Q,)
+
+    # IRLS Huber weight (Ceres HuberLoss rho'(s): 1 for |r|<=d, d/|r| beyond)
+    absr = jnp.abs(r)
+    w = jnp.where(absr <= cfg.icp_huber_delta, 1.0, cfg.icp_huber_delta / jnp.maximum(absr, 1e-30))
+    w = jnp.where(corr.valid, w, 0.0)
+
+    rp = corr.source_local @ R.T  # R p_i
+    j_rot = jnp.cross(rp, corr.plane_normal)  # (Q, 3)
+    J = jnp.concatenate([j_rot, corr.plane_normal], axis=-1)  # (Q, 6)
+
+    Jw = J * w[:, None]
+    H = J.T @ Jw                      # (6, 6) — MXU matmul
+    b = Jw.T @ r                      # (6,)
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
+
+    # translation prior
+    inv_sigma = 1.0 / cfg.icp_translation_prior_sigma
+    prior_w = inv_sigma * inv_sigma
+    H = H.at[3:, 3:].add(prior_w * jnp.eye(3, dtype=H.dtype))
+    b = b.at[3:].add(prior_w * (pose.t - guess_t))
+    return H, b
+
+
+def _gn_steps(
+    corr: vm.Correspondence,
+    pose: se3.Pose,
+    guess_t: jax.Array,
+    cfg: OdometryConfig,
+    axis_name: str | None = None,
+):
+    """Run cfg.icp_inner_iterations Gauss-Newton steps on a fixed
+    correspondence set (the reference's inner Ceres Solve with
+    max_num_iterations=4, cloud_matcher.cpp:111,156-158)."""
+
+    def body(_, carry):
+        pose, _ = carry
+        H, b = _normal_equations(corr, pose, guess_t, cfg, axis_name)
+        H = H + cfg.icp_damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H, b)
+        new_pose = se3.apply_delta(pose, delta)
+        return new_pose, jnp.linalg.norm(delta)
+
+    return jax.lax.fori_loop(
+        0, cfg.icp_inner_iterations, body, (pose, jnp.float32(jnp.inf))
+    )
+
+
+def make_align(cfg: OdometryConfig, axis_name: str | None = None):
+    """Build the jittable align function for a given config.
+
+    align(map, query_xyz (Q,3) local, query_valid (Q,), guess: Pose)
+      -> IcpResult
+
+    Mirrors CloudMatcher::align (cloud_matcher.cpp:105-178): outer loop of
+    re-correspondence + inner GN solve, early exit when the last step norm
+    is < 1e-4 after more than 4 outer rounds, final quaternion normalize.
+
+    When `axis_name` is given the function is meant to run inside a
+    shard_map with the query axis sharded: each device searches its slice of
+    queries against its (replicated or sharded) map and the 6x6 normal
+    equations are psum-reduced, so every device takes the identical step.
+    """
+    voxel_size = cfg.keyframe_voxel_size
+    max_dist = cfg.icp_max_correspondence_distance
+
+    def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose) -> IcpResult:
+        def cond(carry):
+            pose, i, step_norm, _ = carry
+            return (i < cfg.icp_max_outer_iterations) & (
+                (step_norm >= cfg.icp_convergence_step_norm)
+                | (i <= cfg.icp_min_outer_iterations - 1)
+            )
+
+        def body(carry):
+            pose, i, _, _ = carry
+            R = se3.quat_to_matrix(pose.q)
+            corr = vm.find_correspondences(
+                m, query_xyz, query_valid, pose.t, R,
+                voxel_size=voxel_size, max_distance=max_dist,
+            )
+            n_matches = jnp.sum(corr.valid.astype(jnp.int32))
+            if axis_name is not None:
+                n_matches = jax.lax.psum(n_matches, axis_name)
+            new_pose, step_norm = _gn_steps(corr, pose, guess.t, cfg, axis_name)
+            return new_pose, i + 1, step_norm, n_matches
+
+        init = (guess, jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(0))
+        pose, iters, step_norm, n_matches = jax.lax.while_loop(cond, body, init)
+        pose = se3.Pose(pose.t, se3.quat_normalize(pose.q))
+        return IcpResult(pose, iters, step_norm, n_matches)
+
+    return align
+
+
+def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose, cfg: OdometryConfig) -> IcpResult:
+    """Convenience single-device entry point (jit-cached per config)."""
+    return _cached_align(cfg)(m, query_xyz, query_valid, guess)
+
+
+_ALIGN_CACHE: dict[OdometryConfig, object] = {}
+
+
+def _cached_align(cfg: OdometryConfig):
+    fn = _ALIGN_CACHE.get(cfg)
+    if fn is None:
+        fn = jax.jit(make_align(cfg))
+        _ALIGN_CACHE[cfg] = fn
+    return fn
