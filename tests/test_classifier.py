@@ -1,0 +1,92 @@
+"""Classifier (ring organize + curvature + normals) vs NumPy loop oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lidar_odometry_demo_tpu.config import TINY
+from lidar_odometry_demo_tpu.ops import classifier
+from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+from lidar_odometry_demo_tpu.oracle.reference_semantics import classify_oracle
+
+
+def _synthetic_scan(rng, cfg, n=1500):
+    """Quasi-lidar points: smooth surfaces (low curvature) + clutter."""
+    ring = rng.integers(0, cfg.num_rings, n)
+    az = rng.uniform(0, 2 * np.pi, n)
+    # smooth radius per (ring, az): a lobed wall so most points are flat
+    r = 8.0 + 1.5 * np.sin(2 * az) + 0.15 * ring
+    # sprinkle sharp outliers
+    sharp = rng.random(n) < 0.1
+    r = np.where(sharp, r * rng.uniform(0.4, 0.9, n), r)
+    x = r * np.cos(az)
+    y = -r * np.sin(az)  # azimuth convention: atan2(-y, x) = az
+    z = 0.1 * ring + rng.normal(0, 0.01, n)
+    xyz = np.stack([x, y, z], -1)
+    return scan_from_numpy(xyz, np.zeros(n), ring, rng.uniform(0, 0.1, n), cfg.max_raw_points)
+
+
+def test_organize_matches_oracle(rng):
+    cfg = TINY
+    scan = _synthetic_scan(rng, cfg)
+    org = classifier.organize(scan, cfg)
+    _, _, img, _ = classify_oracle(
+        np.asarray(scan.xyz)[np.asarray(scan.valid)],
+        np.asarray(scan.ring)[np.asarray(scan.valid)],
+        cfg.num_rings, cfg.scan_width,
+    )
+    np.testing.assert_allclose(np.asarray(org.xyz), img, atol=1e-6)
+
+
+def test_curvature_and_planar_match_oracle(rng):
+    cfg = TINY
+    scan = _synthetic_scan(rng, cfg)
+    planar, org, curv = classifier.classify(scan, cfg)
+    o_planar, o_normals, o_img, o_curv = classify_oracle(
+        np.asarray(scan.xyz)[np.asarray(scan.valid)],
+        np.asarray(scan.ring)[np.asarray(scan.valid)],
+        cfg.num_rings, cfg.scan_width,
+        cfg.curvature_window, cfg.normals_window, cfg.flatness_threshold,
+    )
+    got_curv = np.asarray(curv)
+    # compare where both are "valid" cells; invalid marker is 1000 both sides
+    np.testing.assert_allclose(got_curv, o_curv, atol=1e-4)
+
+    got_mask = np.asarray(planar.valid).reshape(cfg.num_rings, cfg.scan_width)
+    np.testing.assert_array_equal(got_mask, o_planar)
+
+    got_n = np.asarray(planar.normal).reshape(cfg.num_rings, cfg.scan_width, 3)
+    np.testing.assert_allclose(got_n[o_planar], o_normals[o_planar], atol=1e-4)
+
+
+def test_planar_points_lie_on_flat_surfaces(rng):
+    """Sanity: inside a square room with flat vertical walls, interior wall
+    points classify as planar with the exact wall normal (L, R, P are
+    coplanar on a flat wall, so the cross-product construction is exact)."""
+    cfg = TINY
+    # dense scan: one point per (ring, column) like a real spinning lidar
+    rings_g, cols_g = np.meshgrid(
+        np.arange(cfg.num_rings), np.arange(cfg.scan_width), indexing="ij"
+    )
+    ring = rings_g.ravel()
+    az = (cols_g.ravel() + 0.5) * (2 * np.pi / cfg.scan_width)
+    # square room |x|<=10, |y|<=10: boundary radius along each azimuth
+    dx, dy = np.cos(az), -np.sin(az)
+    with np.errstate(divide="ignore"):
+        r = np.minimum(
+            np.where(dx != 0, 10.0 / np.abs(dx), np.inf),
+            np.where(dy != 0, 10.0 / np.abs(dy), np.inf),
+        )
+    xyz = np.stack([r * dx, r * dy, 0.2 * ring], -1)
+    n = xyz.shape[0]
+    scan = scan_from_numpy(xyz, np.zeros(n), ring, np.zeros(n), cfg.max_raw_points)
+    planar, org, curv = classifier.classify(scan, cfg)
+    frac = float(jnp.sum(planar.valid) / jnp.sum(org.valid))
+    assert frac > 0.5
+    nrm = np.asarray(planar.normal)[np.asarray(planar.valid)]
+    pts = np.asarray(planar.xyz)[np.asarray(planar.valid)]
+    # away from corners, the normal must be the wall's axis normal
+    on_x_wall = (np.abs(np.abs(pts[:, 0]) - 10.0) < 1e-3) & (np.abs(pts[:, 1]) < 8.0)
+    on_y_wall = (np.abs(np.abs(pts[:, 1]) - 10.0) < 1e-3) & (np.abs(pts[:, 0]) < 8.0)
+    assert on_x_wall.sum() > 100 and on_y_wall.sum() > 100
+    assert np.median(np.abs(nrm[on_x_wall, 0])) > 0.99
+    assert np.median(np.abs(nrm[on_y_wall, 1])) > 0.99

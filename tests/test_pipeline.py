@@ -1,0 +1,165 @@
+"""End-to-end odometry pipeline on a simulated VLP16 drive.
+
+The reference never tests its pipeline (SURVEY.md §4 "Untested"); here the
+full processCloud equivalent runs over a simulated sequence with ground
+truth and must track the trajectory (BASELINE config 2 scenario).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidar_odometry_demo_tpu.config import OdometryConfig
+from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+from lidar_odometry_demo_tpu.io.trajectory import ate_rmse, relative_translation_errors
+from lidar_odometry_demo_tpu.ops import se3
+from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+from lidar_odometry_demo_tpu.pipeline import odometry
+
+
+# small-but-real config: 900-wide scans keep CPU testing fast while dense
+TEST_CFG = OdometryConfig(
+    scan_width=900,
+    max_raw_points=16384,
+    max_planar_points=8192,
+    max_match_points=2048,
+    max_update_points=8192,
+    map_capacity=65536,
+)
+
+
+@pytest.fixture(scope="module")
+def drive():
+    return simulate_sequence(num_scans=25, width=900, seed=7, speed=3.0, yaw_rate=0.1)
+
+
+def test_sequence_tracks_ground_truth(drive):
+    odo = odometry.LidarOdometry(TEST_CFG)
+    est = []
+    for s in drive.scans:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+        est.append(odo.get_current_pose()[0])
+    est = np.asarray(est)
+
+    # ground truth relative to the first scan's end pose (odometry starts at
+    # identity after the first scan initializes the map)
+    from scipy.spatial.transform import Rotation
+
+    g0_t = drive.gt_t[0]
+    g0_R = Rotation.from_quat(
+        [drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]]
+    )
+    gt_rel = g0_R.inv().apply(drive.gt_t - g0_t)
+
+    # The estimate carries a roughly constant frame offset vs the end-of-scan
+    # ground truth: the reference's backwards translation-deskew quirk
+    # (cloud_transform.h:29-30) anchors the estimate near the scan-start
+    # frame, and the constant-velocity bootstrap (first scans assume zero
+    # velocity) leaves a small permanent transient. Both are faithful
+    # reference behaviors, so parity metrics are alignment-invariant:
+    ate_aligned = ate_rmse(est, gt_rel, align=True)
+    assert ate_aligned < 0.10, ate_aligned
+
+    # per-scan relative motion must track ground truth tightly in steady
+    # state (skip the 3-scan velocity bootstrap)
+    rel_err = relative_translation_errors(est[3:], gt_rel[3:])
+    assert np.median(rel_err) < 0.02, np.median(rel_err)
+    assert np.max(rel_err) < 0.10, np.max(rel_err)
+
+    # absolute error stays bounded (constant offset, not growing drift)
+    ate_abs = ate_rmse(est, gt_rel)
+    assert ate_abs < 0.8, ate_abs
+
+    # the final pose must have moved a sensible distance
+    assert np.linalg.norm(est[-1]) > 5.0
+
+
+def test_first_scan_initializes_map_and_keeps_identity(drive):
+    odo = odometry.LidarOdometry(TEST_CFG)
+    s = drive.scans[0]
+    diag = odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    t, q = odo.get_current_pose()
+    np.testing.assert_allclose(t, 0.0, atol=1e-7)
+    assert abs(q[0]) == 1.0
+    assert int(diag.map_voxels) > 100          # keyframe initialized
+    assert int(diag.num_matches) == 0          # no ICP on first scan
+    assert odo.get_keyframe_cloud().shape[0] == int(diag.map_voxels)
+
+
+def test_divergence_guard_falls_back_to_constant_velocity(drive):
+    """Feed a garbage scan after building a map: if ICP produces a rotation
+    jump beyond the threshold the guard must fall back to the
+    constant-velocity prediction (lidar_odometry.cpp:53-63)."""
+    cfg = TEST_CFG.replace(angular_divergence_threshold=0.0001)
+    odo = odometry.LidarOdometry(cfg)
+    for s in drive.scans[:3]:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    state_before = odo.state
+    prev, cur = state_before.previous, state_before.current
+    guess = se3.compose(cur, se3.relative_to(prev, cur))
+    s = drive.scans[3]
+    diag = odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    if bool(diag.diverged):
+        t, q = odo.get_current_pose()
+        np.testing.assert_allclose(t, np.asarray(guess.t), atol=1e-6)
+        np.testing.assert_allclose(q, np.asarray(guess.q), atol=1e-6)
+    else:
+        # with a 0.0001-degree threshold any real ICP correction diverges
+        # unless the prediction was already perfect; accept both but require
+        # the guard evaluated
+        assert float(diag.icp_step_norm) < 1e-3
+
+
+def test_scan_runner_matches_python_loop(drive):
+    """The lax.scan offline runner must produce the same trajectory as the
+    step-by-step host loop."""
+    scans = [
+        scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"], TEST_CFG.max_raw_points)
+        for s in drive.scans[:6]
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+
+    runner = odometry.make_sequence_runner(TEST_CFG)
+    state = odometry.init_state(TEST_CFG)
+    final_state, diags = runner(state, stacked)
+
+    odo = odometry.LidarOdometry(TEST_CFG)
+    for s in drive.scans[:6]:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+
+    np.testing.assert_allclose(
+        np.asarray(diags.pose.t[-1]), odo.get_current_pose()[0], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_state.current.t), odo.get_current_pose()[0], atol=1e-5
+    )
+
+
+def test_map_eviction_bounds_memory():
+    """Radius eviction must bound the map as the sensor moves on.
+
+    Cleanup runs *before* each insert (lidar_odometry.cpp:67-70, faithful
+    order), so the freshest scan's points may lie up to max_range away; the
+    bound to check is that (a) pre-existing voxels beyond the radius are
+    gone and (b) a tight radius yields a much smaller steady-state map than
+    effectively-unbounded cleanup.
+    """
+    drive = simulate_sequence(num_scans=12, width=900, seed=3, speed=8.0, yaw_rate=0.0)
+
+    sizes = {}
+    for radius in (10.0, 1000.0):
+        cfg = TEST_CFG.replace(keyframe_cleanup_range=radius)
+        odo = odometry.LidarOdometry(cfg)
+        for s in drive.scans:
+            odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+        sizes[radius] = odo.get_keyframe_cloud().shape[0]
+        if radius == 10.0:
+            # voxels not refreshed by the final scan sit within
+            # cleanup_range of the final pose; everything else within
+            # max_range (deposited by the last insert)
+            kf = odo.get_keyframe_cloud()
+            pos = odo.get_current_pose()[0]
+            d = np.linalg.norm(kf - pos, axis=-1)
+            assert d.max() < TEST_CFG.lidar_max_range + 5.0
+    assert sizes[10.0] < 0.7 * sizes[1000.0], sizes
