@@ -62,9 +62,20 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def make_process_scan(cfg: OdometryConfig, axis_name: str | None = None):
-    """Build the jittable per-scan step: (state, scan) -> (state, diag)."""
-    align_fn = icp.make_align(cfg, axis_name=axis_name)
+def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None):
+    """Build the jittable per-scan step: (state, scan) -> (state, diag).
+
+    With `sp_axis` set, the step is meant to run inside a shard_map whose
+    mesh has that axis: every device executes the (cheap) preprocessing and
+    map maintenance redundantly on the replicated scan, but the ICP hot
+    loop — correspondence search + Jacobian/Hessian accumulation — runs on
+    a 1/N slice of the matching queries, reduced by one psum of the 6x6
+    normal equations per GN iteration (BASELINE.json north_star; the
+    reference's only parallelism is a mutexed parallel-for over the same
+    loop, voxel_grid.h:217-231). Collectives are kept out of lax.cond:
+    the first-scan branch is handled by masking instead.
+    """
+    align_fn = icp.make_align(cfg, axis_name=sp_axis)
 
     def process_scan(state: OdometryState, raw: LidarScan):
         # 1. normalize per-point time to [0,1] (lidar_odometry.cpp:25)
@@ -98,7 +109,17 @@ def make_process_scan(cfg: OdometryConfig, axis_name: str | None = None):
         # 7. ICP + divergence guard (lidar_odometry.cpp:49-63); first scan
         #    skips straight to map init (lidar_odometry.cpp:40-44)
         def do_icp(_):
-            res = align_fn(state.keyframe, match_ds.xyz, match_ds.valid, guess)
+            q_xyz, q_valid = match_ds.xyz, match_ds.valid
+            if sp_axis is not None:
+                # each device in the sp group aligns its slice of the
+                # (replicated) matching cloud; align_fn psums the normal
+                # equations so all devices take identical steps
+                n_dev = jax.lax.axis_size(sp_axis)
+                chunk = cfg.max_match_points // n_dev
+                start = jax.lax.axis_index(sp_axis) * chunk
+                q_xyz = jax.lax.dynamic_slice_in_dim(q_xyz, start, chunk, 0)
+                q_valid = jax.lax.dynamic_slice_in_dim(q_valid, start, chunk, 0)
+            res = align_fn(state.keyframe, q_xyz, q_valid, guess)
             ok = se3.rotation_within_threshold(
                 se3.quat_mul(res.pose.q, se3.quat_conj(state.current.q)),
                 cfg.angular_divergence_threshold,
@@ -115,9 +136,19 @@ def make_process_scan(cfg: OdometryConfig, axis_name: str | None = None):
                 jnp.asarray(False),
             )
 
-        pose, iters, step_norm, n_matches, diverged = jax.lax.cond(
-            initialized, do_icp, skip_icp, None
-        )
+        if sp_axis is None:
+            pose, iters, step_norm, n_matches, diverged = jax.lax.cond(
+                initialized, do_icp, skip_icp, None
+            )
+        else:
+            # collectives must not sit inside a divergent cond under SPMD:
+            # always run ICP (on the first scan it sees an empty map — the
+            # translation prior pins the pose at the guess) and select.
+            icp_out = do_icp(None)
+            skip_out = skip_icp(None)
+            pose, iters, step_norm, n_matches, diverged = jax.tree.map(
+                lambda a, b: jnp.where(initialized, a, b), icp_out, skip_out
+            )
 
         # 8. map maintenance (lidar_odometry.cpp:67-70). On the first scan
         #    cleanup of an empty map is a no-op (plus an origin rebase) and
