@@ -1,0 +1,168 @@
+"""Command-line runner — the framework's L4 layer.
+
+Where the reference exposes a ROS 2 node (subscribe /lidar_points, publish
+/odometry + TF + debug clouds, reference src/lidar_odometry_node.cpp), this
+standalone framework exposes a CLI that replays data sources through the
+same pipeline and writes the same outputs as files:
+
+  python -m lidar_odometry_demo_tpu.cli sim --scans 100 --out traj.tum
+  python -m lidar_odometry_demo_tpu.cli pcd-dir /path/to/scans --out traj.tum
+  python -m lidar_odometry_demo_tpu.cli refine traj.tum --out refined.tum
+
+Outputs: TUM trajectory (the /odometry + TF analogue), optional keyframe
+cloud PCD (the /keyframe_cloud analogue), optional deskewed-scan PCDs, and
+per-scan diagnostics JSON lines (the stdout telemetry analogue,
+lidar_odometry.cpp:75).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_config(args) -> "OdometryConfig":
+    from lidar_odometry_demo_tpu.config import OdometryConfig
+
+    if args.config:
+        import yaml  # type: ignore
+
+        with open(args.config) as f:
+            return OdometryConfig.from_dict(yaml.safe_load(f) or {})
+    return OdometryConfig()
+
+
+def _run_stream(cfg, scans_iter, gt=None, out=None, keyframe_out=None, quiet=False):
+    from lidar_odometry_demo_tpu.io import trajectory
+    from lidar_odometry_demo_tpu.pipeline.odometry import LidarOdometry
+    from lidar_odometry_demo_tpu.utils.profiling import ScanRateCounter
+
+    odo = LidarOdometry(cfg)
+    rate = ScanRateCounter()
+    stamps, ts, qs = [], [], []
+    for i, s in enumerate(scans_iter):
+        t0 = time.perf_counter()
+        diag = odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+        dt = time.perf_counter() - t0
+        t, q = odo.get_current_pose()
+        stamp = s.get("stamp", i * 0.1)
+        stamps.append(stamp)
+        ts.append(t)
+        qs.append(q)
+        if not quiet:
+            print(json.dumps({
+                "scan": i,
+                "stamp": stamp,
+                "t": [round(float(x), 4) for x in t],
+                "processing_ms": round(1e3 * dt, 1),  # lidar_odometry.cpp:75 analogue
+                "scans_per_sec": round(rate.tick(), 2),
+                "icp_iterations": int(diag.icp_iterations),
+                "matches": int(diag.num_matches),
+                "diverged": bool(diag.diverged),
+                "map_voxels": int(diag.map_voxels),
+            }), file=sys.stderr)
+    if out:
+        trajectory.write_tum(out, stamps, ts, qs)
+        print(f"wrote {out} ({len(ts)} poses)")
+    if keyframe_out:
+        from lidar_odometry_demo_tpu.io import pcd
+
+        pcd.write_pcd(keyframe_out, odo.get_keyframe_cloud())
+        print(f"wrote {keyframe_out}")
+    if gt is not None and len(ts) > 1:
+        est = np.asarray(ts)
+        ate = trajectory.ate_rmse(est, gt[: len(est)], align=True)
+        print(f"aligned ATE RMSE vs ground truth: {ate:.4f} m")
+    return np.asarray(ts), np.asarray(qs)
+
+
+def cmd_sim(args):
+    from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+    from scipy.spatial.transform import Rotation
+
+    cfg = _load_config(args)
+    drive = simulate_sequence(
+        num_scans=args.scans, width=cfg.scan_width, seed=args.seed,
+        speed=args.speed, yaw_rate=args.yaw_rate,
+    )
+    g0_R = Rotation.from_quat(
+        [drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]]
+    )
+    gt_rel = g0_R.inv().apply(drive.gt_t - drive.gt_t[0])
+    _run_stream(cfg, drive.scans, gt=gt_rel, out=args.out,
+                keyframe_out=args.keyframe_out, quiet=args.quiet)
+
+
+def cmd_pcd_dir(args):
+    from lidar_odometry_demo_tpu.io import pcd
+
+    cfg = _load_config(args)
+
+    def scans():
+        for path in sorted(glob.glob(os.path.join(args.path, "*.pcd"))):
+            d = pcd.read_pcd(path)
+            n = d["x"].shape[0]
+            xyz = np.stack([d["x"], d["y"], d["z"]], -1).astype(np.float32)
+            yield dict(
+                xyz=xyz,
+                intensity=d.get("intensity", np.zeros(n, np.float32)),
+                ring=d.get("ring", np.zeros(n, np.int32)).astype(np.int32),
+                time=d.get("time", d.get("t", np.linspace(0, 0.1, n))).astype(np.float32),
+            )
+
+    _run_stream(cfg, scans(), out=args.out, keyframe_out=args.keyframe_out,
+                quiet=args.quiet)
+
+
+def cmd_refine(args):
+    from lidar_odometry_demo_tpu.io import trajectory
+    from lidar_odometry_demo_tpu.parallel import pose_graph as pg
+
+    stamps, t, q = trajectory.read_tum(args.traj)
+    g = pg.chain_from_odometry(t, q)
+    refined = pg.refine(g, iterations=args.iterations, use_schur=args.schur)
+    trajectory.write_tum(args.out, stamps, np.asarray(refined.poses.t), np.asarray(refined.poses.q))
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="lidar_odometry_demo_tpu")
+    p.add_argument("--config", help="YAML config overriding OdometryConfig fields")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sim", help="run odometry on a simulated VLP16 drive")
+    ps.add_argument("--scans", type=int, default=50)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--speed", type=float, default=3.0)
+    ps.add_argument("--yaw-rate", type=float, default=0.05)
+    ps.add_argument("--out", default="trajectory.tum")
+    ps.add_argument("--keyframe-out")
+    ps.add_argument("--quiet", action="store_true")
+    ps.set_defaults(fn=cmd_sim)
+
+    pp = sub.add_parser("pcd-dir", help="run odometry over a directory of PCD scans")
+    pp.add_argument("path")
+    pp.add_argument("--out", default="trajectory.tum")
+    pp.add_argument("--keyframe-out")
+    pp.add_argument("--quiet", action="store_true")
+    pp.set_defaults(fn=cmd_pcd_dir)
+
+    pr = sub.add_parser("refine", help="pose-graph refine a TUM trajectory")
+    pr.add_argument("traj")
+    pr.add_argument("--out", default="refined.tum")
+    pr.add_argument("--iterations", type=int, default=10)
+    pr.add_argument("--schur", action="store_true")
+    pr.set_defaults(fn=cmd_refine)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
