@@ -47,6 +47,7 @@ class StepDiagnostics(NamedTuple):
     diverged: jax.Array      # divergence guard fired ("unstable rotation")
     num_planar: jax.Array
     map_voxels: jax.Array
+    deskewed_xyz: jax.Array | None = None  # getTempCloud parity (optional)
 
 
 def init_state(cfg: OdometryConfig) -> OdometryState:
@@ -62,7 +63,8 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None):
+def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
+                      return_deskewed: bool = False):
     """Build the jittable per-scan step: (state, scan) -> (state, diag).
 
     With `sp_axis` set, the step is meant to run inside a shard_map whose
@@ -169,6 +171,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None):
             diverged=diverged,
             num_planar=num_planar,
             map_voxels=vm.map_size(keyframe),
+            deskewed_xyz=deskewed.xyz if return_deskewed else None,
         )
         return new_state, diag
 
@@ -196,10 +199,10 @@ class LidarOdometry:
     LidarOdometry class (reference src/lidar_odometry.h:65-76).
     """
 
-    def __init__(self, cfg: OdometryConfig | None = None):
+    def __init__(self, cfg: OdometryConfig | None = None, keep_deskewed: bool = False):
         self.cfg = cfg or OdometryConfig()
         self._state = init_state(self.cfg)
-        self._step = jax.jit(make_process_scan(self.cfg))
+        self._step = jax.jit(make_process_scan(self.cfg, return_deskewed=keep_deskewed))
         self._last_diag: StepDiagnostics | None = None
 
     def process_cloud(self, xyz, intensity, ring, time) -> StepDiagnostics:
@@ -228,6 +231,13 @@ class LidarOdometry:
     def get_full_keyframe_cloud(self) -> np.ndarray:
         """All stored points — reference getFullKeyFrameCloud()."""
         return vm.get_cloud(self._state.keyframe)[0]
+
+    def get_temp_cloud(self) -> np.ndarray | None:
+        """Last deskewed input cloud — reference getTempCloud()
+        (lidar_odometry.h:74-76). Requires keep_deskewed=True."""
+        if self._last_diag is None or self._last_diag.deskewed_xyz is None:
+            return None
+        return np.asarray(self._last_diag.deskewed_xyz)
 
     @property
     def state(self) -> OdometryState:
