@@ -10,7 +10,7 @@ sorted arrays:
 - voxel coords quantized by truncation toward zero — reproducing the
   reference's `(int64)(x / voxel_size)` quirk where the 8 voxels around the
   origin merge (voxel_grid.h:68-75),
-- coords packed into a single uint32 key (11/11/10 bits for x/y/z) relative
+- coords packed into a single int32 key (11/11/9 bits for x/y/z) relative
   to a rebasable integer origin; the radius-evicted map (80 m) always fits,
 - the table is kept sorted by key: lookup is a vectorized binary search
   (O(log C) gathers), insertion is scatter + one XLA sort, eviction is a
@@ -34,16 +34,24 @@ import jax.numpy as jnp
 
 from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
 
-# uint32 key packing: x:[21..31] (11 bits), y:[10..20] (11 bits), z:[0..9] (10 bits)
-_XB, _YB, _ZB = 11, 11, 10
+# int32 key packing: x:[20..30] (11 bits), y:[9..19] (11 bits), z:[0..8] (9 bits).
+# 31 bits total keeps every key non-negative int32 — int32 is deliberate: on
+# the current TPU runtime, programs touching uint32 arrays with the top bit
+# set (e.g. a 0xFFFFFFFF empty marker) flip the device into a ~100x slower
+# gather mode for the rest of the process (see scripts/degrade_*.py for the
+# bisection evidence); int32 keys with a 0x7FFFFFFF empty marker avoid it.
+# Coordinate window around the rebasable origin: x/y +-1024 voxels,
+# z +-256 voxels (at the 0.1 m update grid that is +-102 m / +-25.6 m —
+# ample for an 80 m range gate and VLP16's +-15 deg vertical fan).
+_XB, _YB, _ZB = 11, 11, 9
 _XOFF, _YOFF, _ZOFF = 1 << (_XB - 1), 1 << (_YB - 1), 1 << (_ZB - 1)
-EMPTY_KEY = jnp.uint32(0xFFFFFFFF)
+EMPTY_KEY = jnp.int32(0x7FFFFFFF)
 
 
 class VoxelMap(NamedTuple):
     """Fixed-capacity voxel table, sorted by packed key.
 
-    keys:   (C,)      uint32, ascending, EMPTY_KEY-padded
+    keys:   (C,)      int32, ascending, EMPTY_KEY-padded
     count:  (C,)      int32 points stored per voxel
     pts:    (C, K, 3) float32 stored points (world frame)
     nrm:    (C, K, 3) float32 stored unit normals
@@ -80,9 +88,9 @@ def voxel_indices(xyz: jax.Array, voxel_size: float) -> jax.Array:
 
 
 def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array) -> jax.Array:
-    """Pack relative integer indices into sortable uint32 keys.
+    """Pack relative integer indices into sortable int32 keys.
 
-    Out-of-range indices (beyond the 11/11/10-bit window around origin) and
+    Out-of-range indices (beyond the 11/11/9-bit window around origin) and
     invalid entries map to EMPTY_KEY, which sorts after every valid key.
     """
     rel = idx - origin
@@ -94,9 +102,7 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array) -> jax.Array:
         & (ry >= 0) & (ry < (1 << _YB) - 1)
         & (rz >= 0) & (rz < (1 << _ZB) - 1)
     )
-    key = (
-        rx.astype(jnp.uint32) << (_YB + _ZB)
-    ) | (ry.astype(jnp.uint32) << _ZB) | rz.astype(jnp.uint32)
+    key = (rx << (_YB + _ZB)) | (ry << _ZB) | rz
     return jnp.where(valid & in_range, key, EMPTY_KEY)
 
 
@@ -107,14 +113,12 @@ def _shift_key(delta: jax.Array) -> jax.Array:
     without re-sorting (a uniform shift preserves lexicographic order as
     long as coordinates stay in range, which radius eviction guarantees).
     """
-    return (
-        delta[0].astype(jnp.uint32) << (_YB + _ZB)
-    ) + (delta[1].astype(jnp.uint32) << _ZB) + delta[2].astype(jnp.uint32)
+    return (delta[0] << (_YB + _ZB)) + (delta[1] << _ZB) + delta[2]
 
 
 def map_init(capacity: int, max_points: int) -> VoxelMap:
     return VoxelMap(
-        keys=jnp.full((capacity,), EMPTY_KEY, jnp.uint32),
+        keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
         count=jnp.zeros((capacity,), jnp.int32),
         pts=jnp.zeros((capacity, max_points, 3), jnp.float32),
         nrm=jnp.zeros((capacity, max_points, 3), jnp.float32),
@@ -378,7 +382,7 @@ def get_cloud(m: VoxelMap):
     pts = np.asarray(m.pts)
     nrm = np.asarray(m.nrm)
     out_p, out_n = [], []
-    for i in np.nonzero(keys != np.uint32(0xFFFFFFFF))[0]:
+    for i in np.nonzero(keys != np.int32(0x7FFFFFFF))[0]:
         c = count[i]
         out_p.append(pts[i, :c])
         out_n.append(nrm[i, :c])
@@ -392,5 +396,5 @@ def get_sparse_cloud(m: VoxelMap):
     import numpy as np
 
     keys = np.asarray(m.keys)
-    sel = keys != np.uint32(0xFFFFFFFF)
+    sel = keys != np.int32(0x7FFFFFFF)
     return np.asarray(m.pts)[sel, 0, :]

@@ -56,7 +56,7 @@ def test_truncation_quirk_origin_merge():
     m = vm.map_init(64, 10)
     m = vm.map_insert(m, _pts(xyz, capacity=4), voxel_size=0.5)
     assert int(vm.map_size(m)) == 1
-    assert int(m.count[np.asarray(m.keys) != 0xFFFFFFFF][0]) == 3
+    assert int(m.count[np.asarray(m.keys) != np.asarray(vm.EMPTY_KEY)][0]) == 3
 
 
 def test_capped_insert_first_come_kept(rng):
