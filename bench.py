@@ -66,12 +66,34 @@ def main():
     best = min(times)
     scans_per_sec = num_scans / best
 
+    # sanity: trajectory quality (computed BEFORE the batched attempt so a
+    # device fault there cannot poison these transfers)
+    est = np.asarray(diags.pose.t)
+    from scipy.spatial.transform import Rotation
+
+    g0_R = Rotation.from_quat(
+        [drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]]
+    )
+    gt_rel = g0_R.inv().apply(drive.gt_t - drive.gt_t[0])
+    ate = ate_rmse(est, gt_rel, align=True)
+    matches_last = int(diags.num_matches[-1])
+    print(
+        f"bench: single-seq {scans_per_sec:.1f} scans/s "
+        f"({1e3*best/num_scans:.1f} ms/scan), aligned ATE {ate:.3f} m, "
+        f"matches(last)={matches_last}",
+        file=sys.stderr,
+    )
+
     # batched throughput: B independent sequences vmapped on this one chip.
     # This is the production serving shape (BASELINE.json config 4) and the
     # number that scans/sec/chip is really about — the serial per-sequence
     # latency above underutilizes the chip.
-    B = 8
+    import os
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     try:
+        if B <= 1:
+            raise RuntimeError("batched phase disabled (BENCH_BATCH<=1)")
         from lidar_odometry_demo_tpu.parallel import batched
 
         vstep = jax.vmap(odometry.make_process_scan(cfg))
@@ -100,21 +122,6 @@ def main():
         batched_sps = scans_per_sec
 
     scans_per_sec = max(scans_per_sec, batched_sps)
-
-    # sanity: trajectory quality on this run
-    est = np.asarray(diags.pose.t)
-    from scipy.spatial.transform import Rotation
-
-    g0_R = Rotation.from_quat(
-        [drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]]
-    )
-    gt_rel = g0_R.inv().apply(drive.gt_t - drive.gt_t[0])
-    ate = ate_rmse(est, gt_rel, align=True)
-    print(
-        f"bench: {scans_per_sec:.1f} scans/s ({1e3*best/num_scans:.1f} ms/scan), "
-        f"aligned ATE {ate:.3f} m, matches(last)={int(diags.num_matches[-1])}",
-        file=sys.stderr,
-    )
 
     print(
         json.dumps(

@@ -107,7 +107,7 @@ def _gn_steps(
         return new_pose, jnp.linalg.norm(delta)
 
     return jax.lax.fori_loop(
-        0, cfg.icp_inner_iterations, body, (pose, jnp.float32(jnp.inf))
+        0, cfg.icp_inner_iterations, body, (pose, jnp.float32(1e9))
     )
 
 
@@ -150,7 +150,9 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
             new_pose, step_norm = _gn_steps(corr, pose, guess.t, cfg, axis_name)
             return new_pose, i + 1, step_norm, n_matches
 
-        init = (guess, jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(0))
+        # 1e9 not inf: f32-extreme values degrade the TPU runtime (see
+        # scripts/degrade_sentinel.py)
+        init = (guess, jnp.int32(0), jnp.float32(1e9), jnp.int32(0))
         pose, iters, step_norm, n_matches = jax.lax.while_loop(cond, body, init)
         pose = se3.Pose(pose.t, se3.quat_normalize(pose.q))
         return IcpResult(pose, iters, step_norm, n_matches)

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 from lidar_odometry_demo_tpu.ops import se3
 from lidar_odometry_demo_tpu.ops.cloud import LidarScan, PointsWithNormals
 
-_BIG = jnp.float32(3.0e38)
+# Masking sentinel for min/max reductions. Deliberately modest (1e9 >> any
+# realistic timestamp in seconds): values near the f32 extremes (3e38, inf)
+# make the TPU runtime fault into a ~100x slower per-op mode for the rest of
+# the process (see scripts/degrade_sentinel.py / degrade_pipeline.py).
+_BIG = jnp.float32(1.0e9)
 
 
 def time_normalize(scan: LidarScan) -> LidarScan:
@@ -32,7 +36,12 @@ def time_normalize(scan: LidarScan) -> LidarScan:
     t = scan.time
     tmin = jnp.min(jnp.where(scan.valid, t, _BIG))
     tmax = jnp.max(jnp.where(scan.valid, t, -_BIG))
-    return scan._replace(time=(t - tmin) / (tmax - tmin))
+    rng = tmax - tmin
+    # guard the all-equal-times case (reference divides by zero there,
+    # point_time_normalize.h:34 — a NaN cloud; we pin t=0 instead, which
+    # also keeps runtime-produced non-finites off the TPU)
+    rng = jnp.where(rng > 0, rng, 1.0)
+    return scan._replace(time=(t - tmin) / rng)
 
 
 def range_filter_mask(xyz: jax.Array, valid: jax.Array, min_range: float, max_range: float) -> jax.Array:

@@ -350,12 +350,16 @@ def find_correspondences(
 
     d2 = jnp.sum((cand_pts - q_world[:, None, None, :]) ** 2, axis=-1)  # (Q, 27, K)
     max_d2 = jnp.float32(max_distance * max_distance)
-    d2 = jnp.where(cand_ok & (d2 < max_d2), d2, jnp.inf)
+    # gate: invalid candidates sit exactly at max_d2, so the reference's
+    # strict `min_dist < max_d2` validity check (voxel_grid.h:197) falls out
+    # of the argmin — and no inf sentinel is needed (extreme f32 values trip
+    # the TPU runtime into a degraded mode, see scripts/degrade_sentinel.py)
+    d2 = jnp.where(cand_ok & (d2 < max_d2), d2, max_d2)
 
     flat = d2.reshape(d2.shape[0], -1)
     best = jnp.argmin(flat, axis=-1)  # first minimum, matching reference order
     best_d2 = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
-    valid = query_valid & jnp.isfinite(best_d2)
+    valid = query_valid & (best_d2 < max_d2)
 
     qi = jnp.arange(flat.shape[0])
     plane_origin = cand_pts.reshape(flat.shape[0], -1, 3)[qi, best]
