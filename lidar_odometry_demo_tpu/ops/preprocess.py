@@ -18,11 +18,12 @@ import jax.numpy as jnp
 from lidar_odometry_demo_tpu.ops import se3
 from lidar_odometry_demo_tpu.ops.cloud import LidarScan, PointsWithNormals
 
-# Masking sentinel for min/max reductions. Deliberately modest (1e9 >> any
-# realistic timestamp in seconds): values near the f32 extremes (3e38, inf)
-# make the TPU runtime fault into a ~100x slower per-op mode for the rest of
-# the process (see scripts/degrade_sentinel.py / degrade_pipeline.py).
-_BIG = jnp.float32(1.0e9)
+# Masking sentinel for min/max reductions. A *python float* of modest
+# magnitude, deliberately: (a) f32 values >= ~1e35 and (b) closures over
+# module-level jnp device-array constants each fault the current TPU
+# runtime into a ~100x slower per-op mode for the rest of the process
+# (bisected in scripts/degrade_sentinel.py / degrade_const.py).
+_BIG = 1.0e9
 
 
 def time_normalize(scan: LidarScan) -> LidarScan:

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
 
@@ -45,7 +46,10 @@ from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
 # ample for an 80 m range gate and VLP16's +-15 deg vertical fan).
 _XB, _YB, _ZB = 11, 11, 9
 _XOFF, _YOFF, _ZOFF = 1 << (_XB - 1), 1 << (_YB - 1), 1 << (_ZB - 1)
-EMPTY_KEY = jnp.int32(0x7FFFFFFF)
+# np.int32, NOT jnp.int32: module-level jnp device constants captured by
+# closure fault the TPU runtime into a ~100x degraded mode
+# (scripts/degrade_const.py); NumPy scalars become inlined XLA literals.
+EMPTY_KEY = np.int32(0x7FFFFFFF)
 
 
 class VoxelMap(NamedTuple):
@@ -308,9 +312,10 @@ def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float, voxel_size:
 # findMatchingPairs, voxel_grid.h:164-234)
 # ---------------------------------------------------------------------------
 
-_NEIGHBOR_OFFSETS = jnp.array(
+# np.array (inlined literal), not jnp — see EMPTY_KEY note.
+_NEIGHBOR_OFFSETS = np.array(
     [[ix, iy, iz] for ix in (-1, 0, 1) for iy in (-1, 0, 1) for iz in (-1, 0, 1)],
-    jnp.int32,
+    np.int32,
 )  # (27, 3) in the reference's ix/iy/iz scan order (voxel_grid.h:175-177)
 
 
