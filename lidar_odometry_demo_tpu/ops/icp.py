@@ -45,6 +45,47 @@ class IcpResult(NamedTuple):
     num_matches: jax.Array    # correspondences in the last outer iteration
 
 
+def solve_spd_6x6(H: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve H x = b for SPD 6x6 via fully-unrolled Cholesky.
+
+    A hand-rolled tiny solve instead of jnp.linalg.solve: the generic LU
+    path is a poor fit for a fixed 6x6 inside a while_loop (pivot search,
+    custom-call lowering); ~90 scalar fused ops beat it and keep the hot
+    loop free of library custom calls.
+    """
+    n = 6
+    # Cholesky factorization H = L L^T, unrolled
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        # guard tiny/negative pivots (damped H is SPD in exact arithmetic)
+        diag = jnp.sqrt(jnp.maximum(s, 1e-12))
+        L[j][j] = diag
+        inv_d = 1.0 / diag
+        for i in range(j + 1, n):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _normal_equations(
     corr: vm.Correspondence,
     pose: se3.Pose,
@@ -102,7 +143,7 @@ def _gn_steps(
         pose, _ = carry
         H, b = _normal_equations(corr, pose, guess_t, cfg, axis_name)
         H = H + cfg.icp_damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(H, b)
+        delta = -solve_spd_6x6(H, b)
         new_pose = se3.apply_delta(pose, delta)
         return new_pose, jnp.linalg.norm(delta)
 

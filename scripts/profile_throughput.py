@@ -15,12 +15,19 @@ from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
 from lidar_odometry_demo_tpu.pipeline import odometry
 
 
+def _force(x):
+    """Completion barrier: fetch a scalar (block_until_ready can return
+    early on the axon runtime)."""
+    leaves = jax.tree.leaves(x)
+    return sum(float(jnp.sum(l.astype(jnp.float32))) for l in leaves if hasattr(l, "dtype"))
+
+
 def timeit(name, fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(n)]
-    jax.block_until_ready(outs)
+    _force(outs[-1])
     dt = (time.perf_counter() - t0) / n
     print(f"{name:34s} {1e3*dt:9.2f} ms/call (throughput, n={n})", flush=True)
     return out
