@@ -170,22 +170,30 @@ def downsample(pts: PointsWithNormals, voxel_size: float, budget: int) -> Points
     Scan-local: uses a zero origin; inputs must be within the key window
     (true after the 80 m range gate).
     """
+    n = pts.capacity
+    take = min(budget, n)
+    pad = budget - take
     zero_origin = jnp.zeros((3,), jnp.int32)
     keys = pack_keys(voxel_indices(pts.xyz, voxel_size), zero_origin, pts.valid)
     order = jnp.argsort(keys, stable=True)  # ties keep input order
     sorted_keys = keys[order]
     leader, _, _ = _group_structure(sorted_keys)
     # compact leaders to the front (stable: stays in key order)
-    comp = jnp.argsort(~leader, stable=True)[:budget]
+    comp = jnp.argsort(~leader, stable=True)[:take]
     src = order[comp]
-    ok = leader[comp]
-    in_budget = jnp.arange(budget) < jnp.sum(leader.astype(jnp.int32))
-    ok = ok & in_budget
-    return PointsWithNormals(
+    ok = leader[comp] & (jnp.arange(take) < jnp.sum(leader.astype(jnp.int32)))
+    out = PointsWithNormals(
         xyz=jnp.where(ok[:, None], pts.xyz[src], 0.0),
         normal=jnp.where(ok[:, None], pts.normal[src], 0.0),
         valid=ok,
     )
+    if pad:
+        out = PointsWithNormals(
+            xyz=jnp.concatenate([out.xyz, jnp.zeros((pad, 3), out.xyz.dtype)]),
+            normal=jnp.concatenate([out.normal, jnp.zeros((pad, 3), out.normal.dtype)]),
+            valid=jnp.concatenate([out.valid, jnp.zeros((pad,), bool)]),
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
