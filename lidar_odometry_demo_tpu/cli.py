@@ -120,6 +120,64 @@ def cmd_pcd_dir(args):
                 quiet=args.quiet)
 
 
+def cmd_fleet(args):
+    """Batched multi-sequence odometry over the local device mesh — the
+    production serving shape (BASELINE config 4)."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+    from lidar_odometry_demo_tpu.io import trajectory
+    from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+    from lidar_odometry_demo_tpu.parallel import batched, mesh as mesh_lib
+
+    cfg = _load_config(args)
+    n_dev = len(jax.devices())
+    dp = min(args.batch, n_dev) if args.dp is None else args.dp
+    sp = args.sp
+    mesh = mesh_lib.make_mesh(dp=dp, sp=sp)
+    print(f"mesh: dp={dp} x sp={sp} over {n_dev} devices", file=sys.stderr)
+
+    drives = [
+        simulate_sequence(num_scans=args.scans, width=cfg.scan_width,
+                          seed=args.seed + b, speed=args.speed,
+                          yaw_rate=0.03 * (b + 1))
+        for b in range(args.batch)
+    ]
+
+    def stack(drive):
+        scans = [
+            scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"], cfg.max_raw_points)
+            for s in drive.scans
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+
+    scans_b = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *[stack(d) for d in drives])
+    state_b = batched.init_batched_state(cfg, args.batch)
+    run = batched.make_batched_sequence_runner(cfg, mesh)
+
+    t0 = time.perf_counter()
+    final, diags = run(state_b, scans_b)
+    _ = float(jnp.sum(final.current.t))
+    dt = time.perf_counter() - t0
+    total = args.scans * args.batch
+    print(f"fleet: {args.batch} sequences x {args.scans} scans in {dt:.1f}s "
+          f"= {total/dt:.1f} scans/s (incl. compile)", file=sys.stderr)
+
+    for b in range(args.batch):
+        out = f"{args.out_prefix}{b}.tum"
+        t_b = np.asarray(diags.pose.t[:, b])
+        q_b = np.asarray(diags.pose.q[:, b])
+        trajectory.write_tum(out, [i * 0.1 for i in range(args.scans)], t_b, q_b)
+        g0 = Rotation.from_quat([
+            drives[b].gt_q[0][1], drives[b].gt_q[0][2], drives[b].gt_q[0][3], drives[b].gt_q[0][0]
+        ])
+        gt_rel = g0.inv().apply(drives[b].gt_t - drives[b].gt_t[0])
+        ate = trajectory.ate_rmse(t_b, gt_rel, align=True)
+        print(f"  lane {b}: {out}  aligned ATE {ate:.3f} m")
+
+
 def cmd_refine(args):
     from lidar_odometry_demo_tpu.io import trajectory
     from lidar_odometry_demo_tpu.parallel import pose_graph as pg
@@ -152,6 +210,16 @@ def main(argv=None):
     pp.add_argument("--keyframe-out")
     pp.add_argument("--quiet", action="store_true")
     pp.set_defaults(fn=cmd_pcd_dir)
+
+    pf = sub.add_parser("fleet", help="batched multi-sequence odometry on the device mesh")
+    pf.add_argument("--batch", type=int, default=4)
+    pf.add_argument("--scans", type=int, default=20)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--speed", type=float, default=3.0)
+    pf.add_argument("--dp", type=int, default=None)
+    pf.add_argument("--sp", type=int, default=1)
+    pf.add_argument("--out-prefix", default="fleet_")
+    pf.set_defaults(fn=cmd_fleet)
 
     pr = sub.add_parser("refine", help="pose-graph refine a TUM trajectory")
     pr.add_argument("traj")

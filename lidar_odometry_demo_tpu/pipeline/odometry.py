@@ -19,8 +19,6 @@ pipelining one sequence.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -37,7 +37,6 @@ def test_icp_on_reference_fixture():
     import jax.numpy as jnp
 
     from lidar_odometry_demo_tpu.config import OdometryConfig
-    from lidar_odometry_demo_tpu.io.simulator import sample_structured_cloud  # noqa: F401
     from lidar_odometry_demo_tpu.ops import icp, se3
     from lidar_odometry_demo_tpu.ops import voxel_map as vm
     from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals

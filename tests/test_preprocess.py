@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from lidar_odometry_demo_tpu.ops import preprocess, se3
-from lidar_odometry_demo_tpu.ops.cloud import LidarScan, scan_from_numpy
+from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
 from lidar_odometry_demo_tpu.oracle.reference_semantics import deskew_oracle
 
 

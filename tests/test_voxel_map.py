@@ -123,6 +123,24 @@ def test_rebase_preserves_lookup(rng):
     np.testing.assert_allclose(np.asarray(corr.plane_origin), batch, atol=1e-5)
 
 
+def test_rebase_far_from_world_origin(rng):
+    """Maps a kilometre from the world origin still work after rebase: the
+    31-bit key window is relative to the rebased origin, not the world."""
+    center = np.array([1000.0, -500.0, 3.0], np.float32)
+    m = vm.map_init(1024, 4)
+    # rebase the empty map to the far center first (as cleanup does each scan)
+    m = vm.radius_cleanup(m, jnp.asarray(center), radius=80.0, voxel_size=0.5)
+    batch = (rng.uniform(-5, 5, (200, 3)) + center).astype(np.float32)
+    m = vm.map_insert(m, _pts(batch, capacity=256), voxel_size=0.5)
+    assert int(vm.map_size(m)) > 100
+    corr = vm.find_correspondences(
+        m, jnp.asarray(batch), jnp.ones(batch.shape[0], bool),
+        jnp.zeros(3), jnp.eye(3), voxel_size=0.5, max_distance=0.1,
+    )
+    assert bool(jnp.all(corr.valid))
+    np.testing.assert_allclose(np.asarray(corr.plane_origin), batch, atol=1e-4)
+
+
 def test_correspondence_matches_oracle(rng):
     voxel = 0.3
     oracle = DictVoxelGrid(voxel, 5)
