@@ -316,15 +316,94 @@ def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float, voxel_size:
 
 
 # ---------------------------------------------------------------------------
+# fused per-scan maintenance: evict + rebase + insert with ONE table sort
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("voxel_size", "radius"))
+def map_update(
+    m: VoxelMap, new: PointsWithNormals, center: jax.Array,
+    *, voxel_size: float, radius: float,
+) -> VoxelMap:
+    """radius_cleanup followed by map_insert, fused to a single sort pass.
+
+    Semantically identical to the reference's per-scan sequence
+    (lidar_odometry.cpp:67-70: radiusCleanup then addCloud) but instead of
+    two sort+permute passes over the table it tombstones evicted voxels
+    (key kept, count zeroed — a uniform key shift preserves sortedness, so
+    lookups during insertion still work), inserts, then drops unreused
+    tombstones and sorts once.
+    """
+    C, K = m.capacity, m.max_points
+
+    # rebase + tombstone eviction (keys stay sorted: uniform shift)
+    new_origin = voxel_indices(center, voxel_size)
+    shift = _shift_key(new_origin - m.origin)
+    occupied = m.keys != EMPTY_KEY
+    keys1 = jnp.where(occupied, m.keys - shift, EMPTY_KEY)
+    anchors = m.pts[:, 0, :]
+    d2 = jnp.sum((anchors - center) ** 2, axis=-1)
+    evict = occupied & (d2 > radius * radius)
+    count1 = jnp.where(evict, 0, m.count)
+
+    # insert new points against the tombstoned table
+    keys = pack_keys(voxel_indices(new.xyz, voxel_size), new_origin, new.valid)
+    order = jnp.argsort(keys, stable=True)
+    skeys = keys[order]
+    sxyz = new.xyz[order]
+    snrm = new.normal[order]
+    leader, rank, start = _group_structure(skeys)
+    valid_e = skeys != EMPTY_KEY
+
+    pos = jnp.searchsorted(keys1, skeys).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, C - 1)
+    found = valid_e & (keys1[pos_c] == skeys)
+
+    n_used = jnp.sum(occupied.astype(jnp.int32))
+    missing_leader = leader & ~found
+    fresh_slot = n_used + jnp.cumsum(missing_leader.astype(jnp.int32)) - 1
+    slot = jnp.where(found, pos_c, fresh_slot)[start]
+    base = jnp.where(found, count1[pos_c], 0)[start]
+    write_idx = base + rank
+
+    keep = valid_e & (write_idx < K) & (slot < C) & (slot >= 0)
+    slot_w = jnp.where(keep, slot, C)
+    widx_w = jnp.where(keep, write_idx, 0)
+    pts2 = m.pts.at[slot_w, widx_w].set(sxyz, mode="drop")
+    nrm2 = m.nrm.at[slot_w, widx_w].set(snrm, mode="drop")
+
+    n = len(keep)
+    prev_key = jnp.concatenate([jnp.array([EMPTY_KEY], skeys.dtype), skeys[:-1]])
+    boundary = jnp.concatenate([jnp.array([True]), (skeys != prev_key)[1:]])
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(boundary, jnp.arange(n, dtype=jnp.int32), n), reverse=True)
+    nxt_strict = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
+    group_size = jnp.where(leader, nxt_strict - jnp.arange(n, dtype=jnp.int32), 0)
+    new_count = jnp.minimum(K, base + group_size)
+    cnt_slot = jnp.where(leader & (slot < C) & (slot >= 0), slot, C)
+    count2 = count1.at[cnt_slot].set(jnp.where(leader, new_count, 0), mode="drop")
+    key_slot = jnp.where(missing_leader & (slot < C), slot, C)
+    keys2 = keys1.at[key_slot].set(skeys, mode="drop")
+
+    # drop unreused tombstones, single sort
+    keys2 = jnp.where(count2 > 0, keys2, EMPTY_KEY)
+    perm = jnp.argsort(keys2)
+    return VoxelMap(
+        keys=keys2[perm], count=count2[perm],
+        pts=pts2[perm], nrm=nrm2[perm], origin=new_origin,
+    )
+
+
+# ---------------------------------------------------------------------------
 # 27-neighborhood correspondence search (reference getCorrespondence /
 # findMatchingPairs, voxel_grid.h:164-234)
 # ---------------------------------------------------------------------------
 
-# np.array (inlined literal), not jnp — see EMPTY_KEY note.
-_NEIGHBOR_OFFSETS = np.array(
-    [[ix, iy, iz] for ix in (-1, 0, 1) for iy in (-1, 0, 1) for iz in (-1, 0, 1)],
-    np.int32,
-)  # (27, 3) in the reference's ix/iy/iz scan order (voxel_grid.h:175-177)
+# np.array (inlined literal), not jnp — see EMPTY_KEY note. Column scan
+# order (dx, dy ascending) x (z-1, z, z+1) reproduces the reference's
+# ix/iy/iz neighbor order (voxel_grid.h:175-177) for tie-breaking.
+_COLUMN_OFFSETS = np.array(
+    [[ix, iy, 0] for ix in (-1, 0, 1) for iy in (-1, 0, 1)], np.int32
+)  # (9, 3)
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "max_distance"))
@@ -349,17 +428,33 @@ def find_correspondences(
     C, K = m.capacity, m.max_points
     q_world = query_local @ pose_R.T + pose_t  # (Q, 3)
 
+    # One binary search per 3x3 (x,y) COLUMN instead of per voxel: the keys
+    # of (x, y, z-1), (x, y, z), (x, y, z+1) are consecutive integers, so
+    # whichever of them exist occupy consecutive slots in the sorted table.
+    # Search for key(z-1) and probe 3 slots — 9 searches instead of 27.
+    # (key(z)-1 underflows into the y field only when rel_z == 0, i.e. a
+    # point ~25 m below the sensor at 0.1 m voxels — outside VLP16 geometry.)
     base_idx = voxel_indices(q_world, voxel_size)  # (Q, 3)
-    nb_idx = base_idx[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :]  # (Q, 27, 3)
-    nb_keys = pack_keys(nb_idx, m.origin, query_valid[:, None])  # (Q, 27)
+    col_idx = base_idx[:, None, :] + _COLUMN_OFFSETS[None, :, :]  # (Q, 9, 3)
+    col_keys = pack_keys(col_idx, m.origin, query_valid[:, None])  # (Q, 9) at z
+    col_start = jnp.where(col_keys != EMPTY_KEY, col_keys - 1, EMPTY_KEY)
 
-    pos = jnp.searchsorted(m.keys, nb_keys.reshape(-1)).astype(jnp.int32)
-    pos = jnp.minimum(pos, C - 1).reshape(nb_keys.shape)  # (Q, 27)
-    hit = (m.keys[pos] == nb_keys) & (nb_keys != EMPTY_KEY)
+    pos0 = jnp.searchsorted(m.keys, col_start.reshape(-1)).astype(jnp.int32)
+    pos = (pos0[:, None] + np.arange(3, dtype=np.int32)[None, :]).reshape(-1)  # (Q*9*3,)
+    pos = jnp.minimum(pos, C - 1)
+    got = m.keys[pos].reshape(-1, 9, 3)  # keys actually at the probed slots
+    # a probed slot is a hit iff its key is one of the column's 3 targets
+    # (both operands are non-negative int32, so the difference cannot wrap)
+    diff = got - col_start[:, :, None]
+    hit = (diff >= 0) & (diff <= 2) & (col_start != EMPTY_KEY)[:, :, None]
 
-    cand_pts = m.pts[pos]  # (Q, 27, K, 3)
-    cand_nrm = m.nrm[pos]
-    cand_ok = hit[..., None] & (jnp.arange(K)[None, None, :] < m.count[pos][..., None])
+    pos = pos.reshape(-1, 9 * 3)
+    hit = hit.reshape(-1, 9 * 3)
+    cand_pts = m.pts.reshape(C, K * 3)[pos].reshape(-1, 27, K, 3)  # flat-index gather
+    cand_nrm = m.nrm.reshape(C, K * 3)[pos].reshape(-1, 27, K, 3)
+    cand_ok = hit.reshape(-1, 27)[..., None] & (
+        jnp.arange(K)[None, None, :] < m.count[pos].reshape(-1, 27)[..., None]
+    )
 
     d2 = jnp.sum((cand_pts - q_world[:, None, None, :]) ** 2, axis=-1)  # (Q, 27, K)
     max_d2 = jnp.float32(max_distance * max_distance)

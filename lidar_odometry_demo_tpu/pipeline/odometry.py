@@ -150,15 +150,15 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
                 lambda a, b: jnp.where(initialized, a, b), icp_out, skip_out
             )
 
-        # 8. map maintenance (lidar_odometry.cpp:67-70). On the first scan
-        #    cleanup of an empty map is a no-op (plus an origin rebase) and
+        # 8. map maintenance (lidar_odometry.cpp:67-70), fused: evict +
+        #    rebase + insert in one table-sort pass. On the first scan the
+        #    cleanup part of the fused update is a no-op on an empty map and
         #    pose is identity, so the same code path covers map init.
-        keyframe = vm.radius_cleanup(
-            state.keyframe, pose.t,
-            radius=cfg.keyframe_cleanup_range, voxel_size=cfg.keyframe_voxel_size,
-        )
         upd_world = preprocess.transform_with_normals(update_ds, pose)
-        keyframe = vm.map_insert(keyframe, upd_world, voxel_size=cfg.keyframe_voxel_size)
+        keyframe = vm.map_update(
+            state.keyframe, upd_world, pose.t,
+            voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range,
+        )
 
         new_state = OdometryState(keyframe=keyframe, current=pose, previous=previous)
         diag = StepDiagnostics(
