@@ -154,3 +154,20 @@ def classify(scan: LidarScan, cfg: OdometryConfig) -> tuple[PointsWithNormals, O
         valid=planar_mask.reshape(R * W),
     )
     return planar, org, curv
+
+
+def unclassified_mask(planar_valid: jax.Array, curv: jax.Array, cfg: OdometryConfig) -> jax.Array:
+    """(R, W) mask of the reference's `unclassified` output cloud.
+
+    The reference emits every in-window cell that is neither planar nor
+    marked invalid (curvature 1000) into a second cloud
+    (cloud_classifier.h:155-162); its pipeline never consumes it
+    (lidar_odometry.cpp:33 uses only `planar`), but the API exists for
+    downstream users (e.g. edge-feature extensions).
+    """
+    R, W = curv.shape
+    k = cfg.normals_window
+    rows = jnp.arange(R)[:, None]
+    cols = jnp.arange(W)[None, :]
+    in_window = (rows >= 1) & (cols >= k) & (cols < W - k)
+    return in_window & (curv < cfg.curvature_invalid_value) & ~planar_valid.reshape(R, W)
