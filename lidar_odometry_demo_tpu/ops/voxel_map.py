@@ -406,7 +406,7 @@ _COLUMN_OFFSETS = np.array(
 )  # (9, 3)
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "max_distance"))
+@partial(jax.jit, static_argnames=("voxel_size", "max_distance", "use_pallas"))
 def find_correspondences(
     m: VoxelMap,
     query_local: jax.Array,
@@ -416,6 +416,7 @@ def find_correspondences(
     *,
     voxel_size: float,
     max_distance: float,
+    use_pallas: bool = False,
 ) -> Correspondence:
     """For each query point (local frame), transform by the pose estimate and
     find the nearest stored point within `max_distance` over the 3x3x3 voxel
@@ -456,8 +457,28 @@ def find_correspondences(
         jnp.arange(K)[None, None, :] < m.count[pos].reshape(-1, 27)[..., None]
     )
 
+    max_d2 = float(max_distance * max_distance)
+    Q = query_local.shape[0]
+    if use_pallas and Q % 256 == 0:
+        # fused VMEM reduction (ops/pallas/correspondence.py)
+        from lidar_odometry_demo_tpu.ops.pallas.correspondence import reduce_candidates
+
+        plane_origin, plane_normal, best_d2 = reduce_candidates(
+            q_world,
+            cand_pts.reshape(Q, -1, 3),
+            cand_nrm.reshape(Q, -1, 3),
+            cand_ok.reshape(Q, -1),
+            max_d2=max_d2,
+        )
+        valid = query_valid & (best_d2 < max_d2)
+        return Correspondence(
+            source_local=query_local,
+            plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
+            plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
+            valid=valid,
+        )
+
     d2 = jnp.sum((cand_pts - q_world[:, None, None, :]) ** 2, axis=-1)  # (Q, 27, K)
-    max_d2 = jnp.float32(max_distance * max_distance)
     # gate: invalid candidates sit exactly at max_d2, so the reference's
     # strict `min_dist < max_d2` validity check (voxel_grid.h:197) falls out
     # of the argmin — and no inf sentinel is needed (extreme f32 values trip
