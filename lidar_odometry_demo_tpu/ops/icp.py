@@ -171,6 +171,12 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
     max_dist = cfg.icp_max_correspondence_distance
 
     def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose) -> IcpResult:
+        # The map is frozen for the whole ICP loop: build the column
+        # directory + fused candidate rows once, reuse in every outer
+        # iteration (replaces a 17-step binary search per column per
+        # iteration; see vm.SearchIndex).
+        index = vm.build_search_index(m)
+
         def cond(carry):
             pose, i, step_norm, _ = carry
             return (i < cfg.icp_max_outer_iterations) & (
@@ -181,8 +187,8 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
         def body(carry):
             pose, i, _, _ = carry
             R = se3.quat_to_matrix(pose.q)
-            corr = vm.find_correspondences(
-                m, query_xyz, query_valid, pose.t, R,
+            corr = vm.find_correspondences_indexed(
+                m, index, query_xyz, query_valid, pose.t, R,
                 voxel_size=voxel_size, max_distance=max_dist,
             )
             n_matches = jnp.sum(corr.valid.astype(jnp.int32))

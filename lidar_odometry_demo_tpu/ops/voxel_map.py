@@ -405,6 +405,210 @@ _COLUMN_OFFSETS = np.array(
     [[ix, iy, 0] for ix in (-1, 0, 1) for iy in (-1, 0, 1)], np.int32
 )  # (9, 3)
 
+# Column-directory geometry. The directory is a dense (2^GB, 2^GB) grid over
+# the (x, y) column space centered on the key window's midpoint: gx = rx -
+# (XOFF - GHALF). Every voxel the radius-evicted map can hold (<= ~405 voxels
+# from origin at 0.2 m / 80 m) and every gated query (<= ~406) falls inside
+# GHALF = 512, so directory misses are exactly the true misses.
+_GB = 10
+_G = 1 << _GB            # 1024 columns per axis
+_GHALF = _G // 2
+_ZWORDS = (1 << _ZB) // 32   # 16 int32 words cover the full 9-bit z range
+_DIR_W = 1 + _ZWORDS         # [column start slot, z-occupancy bitmask x16]
+
+
+class SearchIndex(NamedTuple):
+    """Per-scan acceleration structure for the 27-neighborhood search.
+
+    The voxel table is frozen for the whole ICP loop, so we precompute once:
+
+    dir_rows: (G*G + 1, 17) int32 — per (x, y) column: the sorted-table slot
+        of the column's first voxel, then a 512-bit z-occupancy bitmask.
+        A query finds the exact sorted-table slot of voxel (x, y, z) as
+        `start + popcount(bits below z)` — one small row-gather plus VPU
+        popcounts instead of a 17-step binary search per column
+        (searchsorted measured ~4x slower on TPU; scripts/micro_corr.py).
+        Row G*G is an always-empty overflow row.
+    rows64: (C, 64) float32 — the stored points flattened to (K*3 = 60)
+        with the voxel's point count fused in lane 60, so candidate gathers
+        bring their own occupancy and no separate count gather is needed.
+    """
+
+    dir_rows: jax.Array
+    rows64: jax.Array
+
+
+def build_search_index(m: VoxelMap) -> SearchIndex:
+    """Build the per-scan directory + fused candidate rows (see SearchIndex)."""
+    C, K = m.capacity, m.max_points
+    keys = m.keys
+    occ = keys != EMPTY_KEY
+    rx = jax.lax.shift_right_logical(keys, _YB + _ZB)          # 11-bit x field
+    ry = jax.lax.shift_right_logical(keys, _ZB) & ((1 << _YB) - 1)
+    rz = keys & ((1 << _ZB) - 1)
+    gx = rx - (_XOFF - _GHALF)
+    gy = ry - (_YOFF - _GHALF)
+    in_win = occ & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
+    cell = jnp.where(in_win, gx * _G + gy, _G * _G)
+
+    # column start = min slot per cell (keys are sorted, so a column's voxels
+    # occupy consecutive slots and min = first)
+    big = np.int32(0x7FFFFFFF)
+    start = jnp.full((_G * _G + 1,), big, jnp.int32)
+    start = start.at[cell].min(jnp.arange(C, dtype=jnp.int32))
+
+    # z-occupancy: scatter-add of single-bit words (z unique per voxel, so
+    # add == or). Bit 31 wraps to int32 min — the right bit pattern; int32
+    # throughout (uint32 top-bit buffers degrade this runtime, see EMPTY_KEY).
+    word = jax.lax.shift_right_logical(rz, 5)
+    bit = jax.lax.shift_left(jnp.int32(1), rz & 31)
+    zmask = jnp.zeros((_G * _G + 1, _ZWORDS), jnp.int32)
+    zmask = zmask.at[cell, word].add(jnp.where(in_win, bit, 0))
+
+    dir_rows = jnp.concatenate([start[:, None], zmask], axis=1)  # (G*G+1, 17)
+
+    width = -(-(K * 3 + 1) // 8) * 8  # pad to a sublane multiple
+    rows64 = jnp.concatenate(
+        [
+            m.pts.reshape(C, K * 3),
+            m.count.astype(jnp.float32)[:, None],
+            jnp.zeros((C, width - K * 3 - 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    return SearchIndex(dir_rows=dir_rows, rows64=rows64)
+
+
+def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
+    """Number of set bits strictly below bit index z (vectorized rank).
+
+    zmask: (..., ZWORDS) int32; z: (...) int32 in [0, 512).
+    """
+    word = jax.lax.shift_right_logical(z, 5)
+    bit = z & 31
+    # mask of bits below `bit` within z's word
+    low = jax.lax.shift_left(jnp.int32(1), bit) - 1  # bit==31 wraps to -1+.. ok:
+    # shift_left(1, 31) = int32 min; min - 1 = 0x7FFFFFFF = bits 0..30 ✓
+    total = jnp.zeros(z.shape, jnp.int32)
+    for w in range(_ZWORDS):
+        mw = zmask[..., w]
+        sel_full = w < word
+        sel_part = w == word
+        masked = jnp.where(sel_part, mw & low, jnp.where(sel_full, mw, 0))
+        total = total + jax.lax.population_count(masked)
+    return total
+
+
+def _zbit(zmask: jax.Array, z: jax.Array) -> jax.Array:
+    """Whether bit z is set; z outside [0, 512) -> False."""
+    ok = (z >= 0) & (z < (1 << _ZB))
+    zc = jnp.clip(z, 0, (1 << _ZB) - 1)
+    word = jax.lax.shift_right_logical(zc, 5)
+    bit = zc & 31
+    w = jnp.zeros(z.shape, jnp.int32)
+    for wi in range(_ZWORDS):  # unrolled select — no gather
+        w = jnp.where(word == wi, zmask[..., wi], w)
+    return ok & (jax.lax.shift_right_logical(w, bit) & 1).astype(bool)
+
+
+def find_correspondences_indexed(
+    m: VoxelMap,
+    index: SearchIndex,
+    query_local: jax.Array,
+    query_valid: jax.Array,
+    pose_t: jax.Array,
+    pose_R: jax.Array,
+    *,
+    voxel_size: float,
+    max_distance: float,
+) -> Correspondence:
+    """27-neighborhood nearest-point search against a prebuilt SearchIndex.
+
+    Semantics of reference findMatchingPairs (voxel_grid.h:206-234):
+    transform each query by the *current* pose estimate, brute-force
+    nearest stored point under a squared-distance gate over the 3x3x3
+    neighbor voxels, first-minimum tie-breaking in (voxel scan, insertion)
+    order; the winner's stored normal is the matching plane.
+
+    TPU shape: per (x, y) column, ONE directory row-gather yields the
+    column's start slot + z-occupancy bitmask; popcount rank-select turns
+    that into exact sorted-table slots for z-1/z/z+1. The 9 columns are
+    processed with a running best, so the only large intermediates are one
+    column's candidates — ~9x less live memory than materializing all 27
+    voxels, and no normals gather (the winner's normal is fetched at the
+    end, 1 row per query).
+    """
+    C, K = m.capacity, m.max_points
+    Q = query_local.shape[0]
+    q_world = query_local @ pose_R.T + pose_t  # (Q, 3)
+    max_d2 = np.float32(max_distance * max_distance)
+
+    base_idx = voxel_indices(q_world, voxel_size) - m.origin  # relative (Q, 3)
+    col_xy = base_idx[:, None, :2] + _COLUMN_OFFSETS[None, :, :2]  # (Q, 9, 2)
+    gx = col_xy[..., 0] + _GHALF
+    gy = col_xy[..., 1] + _GHALF
+    zq = base_idx[:, 2] + _ZOFF  # (Q,) z bit index of the query's own voxel
+    col_ok = (
+        query_valid[:, None]
+        & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
+    )
+    cell = jnp.where(col_ok, gx * _G + gy, _G * _G)  # overflow row: empty
+
+    dir_rows = index.dir_rows[cell.reshape(-1)].reshape(Q, 9, _DIR_W)
+    start = dir_rows[..., 0]         # (Q, 9) column start slot (or BIG)
+    zmask = dir_rows[..., 1:]        # (Q, 9, ZWORDS)
+
+    # exact slots of (z-1, z, z+1) per column by rank-select
+    zq9 = jnp.broadcast_to(zq[:, None], (Q, 9))
+    rank_m1 = _popcount_below(zmask, jnp.clip(zq9 - 1, 0, (1 << _ZB) - 1))
+    p_m1 = _zbit(zmask, zq9 - 1) & col_ok
+    p_0 = _zbit(zmask, zq9) & col_ok
+    p_p1 = _zbit(zmask, zq9 + 1) & col_ok
+    s_m1 = start + rank_m1
+    s_0 = s_m1 + p_m1.astype(jnp.int32)
+    s_p1 = s_0 + p_0.astype(jnp.int32)
+    slots = jnp.stack([s_m1, s_0, s_p1], axis=-1)    # (Q, 9, 3)
+    present = jnp.stack([p_m1, p_0, p_p1], axis=-1)  # (Q, 9, 3)
+    slots = jnp.where(present, jnp.minimum(slots, C - 1), C - 1)
+
+    rows64 = index.rows64
+    kidx = np.arange(K, dtype=np.int32)[None, None, :]  # (1, 1, K)
+
+    # running best over the 9 columns, in reference scan order: strict '<'
+    # keeps the earliest column on ties; within a column, argmin keeps the
+    # first (z, insertion-order) minimum.
+    best_d2 = jnp.full((Q,), max_d2, jnp.float32)
+    best_slot = jnp.zeros((Q,), jnp.int32)
+    best_k = jnp.zeros((Q,), jnp.int32)
+    for c in range(9):
+        sl = slots[:, c, :]                       # (Q, 3)
+        pr = present[:, c, :]
+        rows_c = rows64[sl.reshape(-1)].reshape(Q, 3, -1)  # (Q, 3, width)
+        pts_c = rows_c[..., : K * 3].reshape(Q, 3, K, 3)
+        cnt_c = rows_c[..., K * 3]                # (Q, 3) float count
+        ok = pr[..., None] & (kidx < cnt_c[..., None].astype(jnp.int32))
+        diff = pts_c - q_world[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)        # (Q, 3, K)
+        d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
+        flat = d2.reshape(Q, 3 * K)
+        loc = jnp.argmin(flat, axis=-1)           # first min in (z, k) order
+        loc_d = jnp.take_along_axis(flat, loc[:, None], axis=-1)[:, 0]
+        better = loc_d < best_d2
+        sl_win = jnp.take_along_axis(sl, (loc // K)[:, None], axis=-1)[:, 0]
+        best_slot = jnp.where(better, sl_win, best_slot)
+        best_k = jnp.where(better, (loc % K).astype(jnp.int32), best_k)
+        best_d2 = jnp.where(better, loc_d, best_d2)
+
+    valid = query_valid & (best_d2 < max_d2)
+    plane_origin = m.pts[best_slot, best_k]   # (Q, 3) — tiny winner gathers
+    plane_normal = m.nrm[best_slot, best_k]
+    return Correspondence(
+        source_local=query_local,
+        plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
+        plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
+        valid=valid,
+    )
+
 
 @partial(jax.jit, static_argnames=("voxel_size", "max_distance", "use_pallas"))
 def find_correspondences(
@@ -416,88 +620,18 @@ def find_correspondences(
     *,
     voxel_size: float,
     max_distance: float,
-    use_pallas: bool = False,
+    use_pallas: bool = False,  # kept for API compat; reduction is fused now
 ) -> Correspondence:
-    """For each query point (local frame), transform by the pose estimate and
-    find the nearest stored point within `max_distance` over the 3x3x3 voxel
-    neighborhood; the match's stored normal defines the plane.
+    """One-shot correspondence search (builds the SearchIndex internally).
 
-    Mirrors findMatchingPairs (voxel_grid.h:206-234): transform with the
-    *current* pose estimate, brute-force nearest under a squared-distance
-    gate, first-minimum tie-breaking in (voxel, insertion) order.
+    For repeated searches against the same map — the ICP loop — build the
+    index once with build_search_index and call find_correspondences_indexed.
     """
-    C, K = m.capacity, m.max_points
-    q_world = query_local @ pose_R.T + pose_t  # (Q, 3)
-
-    # One binary search per 3x3 (x,y) COLUMN instead of per voxel: the keys
-    # of (x, y, z-1), (x, y, z), (x, y, z+1) are consecutive integers, so
-    # whichever of them exist occupy consecutive slots in the sorted table.
-    # Search for key(z-1) and probe 3 slots — 9 searches instead of 27.
-    # (key(z)-1 underflows into the y field only when rel_z == 0, i.e. a
-    # point ~25 m below the sensor at 0.1 m voxels — outside VLP16 geometry.)
-    base_idx = voxel_indices(q_world, voxel_size)  # (Q, 3)
-    col_idx = base_idx[:, None, :] + _COLUMN_OFFSETS[None, :, :]  # (Q, 9, 3)
-    col_keys = pack_keys(col_idx, m.origin, query_valid[:, None])  # (Q, 9) at z
-    col_start = jnp.where(col_keys != EMPTY_KEY, col_keys - 1, EMPTY_KEY)
-
-    pos0 = jnp.searchsorted(m.keys, col_start.reshape(-1)).astype(jnp.int32)
-    pos = (pos0[:, None] + np.arange(3, dtype=np.int32)[None, :]).reshape(-1)  # (Q*9*3,)
-    pos = jnp.minimum(pos, C - 1)
-    got = m.keys[pos].reshape(-1, 9, 3)  # keys actually at the probed slots
-    # a probed slot is a hit iff its key is one of the column's 3 targets
-    # (both operands are non-negative int32, so the difference cannot wrap)
-    diff = got - col_start[:, :, None]
-    hit = (diff >= 0) & (diff <= 2) & (col_start != EMPTY_KEY)[:, :, None]
-
-    pos = pos.reshape(-1, 9 * 3)
-    hit = hit.reshape(-1, 9 * 3)
-    cand_pts = m.pts.reshape(C, K * 3)[pos].reshape(-1, 27, K, 3)  # flat-index gather
-    cand_nrm = m.nrm.reshape(C, K * 3)[pos].reshape(-1, 27, K, 3)
-    cand_ok = hit.reshape(-1, 27)[..., None] & (
-        jnp.arange(K)[None, None, :] < m.count[pos].reshape(-1, 27)[..., None]
-    )
-
-    max_d2 = float(max_distance * max_distance)
-    Q = query_local.shape[0]
-    if use_pallas and Q % 256 == 0:
-        # fused VMEM reduction (ops/pallas/correspondence.py)
-        from lidar_odometry_demo_tpu.ops.pallas.correspondence import reduce_candidates
-
-        plane_origin, plane_normal, best_d2 = reduce_candidates(
-            q_world,
-            cand_pts.reshape(Q, -1, 3),
-            cand_nrm.reshape(Q, -1, 3),
-            cand_ok.reshape(Q, -1),
-            max_d2=max_d2,
-        )
-        valid = query_valid & (best_d2 < max_d2)
-        return Correspondence(
-            source_local=query_local,
-            plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
-            plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
-            valid=valid,
-        )
-
-    d2 = jnp.sum((cand_pts - q_world[:, None, None, :]) ** 2, axis=-1)  # (Q, 27, K)
-    # gate: invalid candidates sit exactly at max_d2, so the reference's
-    # strict `min_dist < max_d2` validity check (voxel_grid.h:197) falls out
-    # of the argmin — and no inf sentinel is needed (extreme f32 values trip
-    # the TPU runtime into a degraded mode, see scripts/degrade_sentinel.py)
-    d2 = jnp.where(cand_ok & (d2 < max_d2), d2, max_d2)
-
-    flat = d2.reshape(d2.shape[0], -1)
-    best = jnp.argmin(flat, axis=-1)  # first minimum, matching reference order
-    best_d2 = jnp.take_along_axis(flat, best[:, None], axis=-1)[:, 0]
-    valid = query_valid & (best_d2 < max_d2)
-
-    qi = jnp.arange(flat.shape[0])
-    plane_origin = cand_pts.reshape(flat.shape[0], -1, 3)[qi, best]
-    plane_normal = cand_nrm.reshape(flat.shape[0], -1, 3)[qi, best]
-    return Correspondence(
-        source_local=query_local,
-        plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
-        plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
-        valid=valid,
+    del use_pallas
+    index = build_search_index(m)
+    return find_correspondences_indexed(
+        m, index, query_local, query_valid, pose_t, pose_R,
+        voxel_size=voxel_size, max_distance=max_distance,
     )
 
 
