@@ -27,6 +27,16 @@ class OdometryConfig:
     keyframe_cleanup_range: float = 80.0
     angular_divergence_threshold: float = 5.0  # degrees
 
+    # Deskew translation interpolation direction. The reference interpolates
+    # translation *backwards* in time (start.t * t + end.t * (1-t),
+    # src/utils/cloud_transform.h:29-30) while rotation slerps forward — a
+    # verified bug: against simulated ground truth at 5 m/s the reference
+    # formula leaves ~0.27 m mean intra-scan error (barely better than no
+    # deskew) where the forward formula leaves < 1 mm
+    # (scripts/deskew_quirk_check.py). Default True = corrected (forward)
+    # interpolation; set False for bit-parity with reference semantics.
+    deskew_forward_translation: bool = True
+
     # --- reference hard-coded matcher constants (src/cloud_matcher.cpp) ---
     icp_max_correspondence_distance: float = 0.3  # :139
     icp_huber_delta: float = 0.15                 # :134 HuberLoss(0.15)
@@ -36,6 +46,13 @@ class OdometryConfig:
     icp_convergence_step_norm: float = 1e-4       # :169 step_norm threshold
     icp_min_outer_iterations: int = 4             # :169 "&& (i>3)"
     icp_damping: float = 1e-6  # relative LM damping on the 6x6 (Ceres trust region analogue)
+    # Stall exit (beyond-reference): ICP can limit-cycle between
+    # correspondence sets; the reference burns all 35 outer rounds and keeps
+    # round 35's pose. We track the best robust mean cost seen and exit
+    # after this many consecutive non-improving rounds, returning the
+    # best-cost pose (strictly no worse, far cheaper). Set to 35 to disable.
+    icp_stall_exit_rounds: int = 3
+    icp_stall_rel_tolerance: float = 1e-4  # relative cost-improvement bar
 
     # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---
     curvature_window: int = 4          # :83

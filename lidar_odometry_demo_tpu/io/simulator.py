@@ -95,6 +95,7 @@ def simulate_sequence(
     sensor_height: float = 1.8,
     scan_period: float = 0.1,
     range_noise: float = 0.004,
+    ramp_time: float = 2.0,
 ) -> ScanStream:
     """Simulate a VLP16 drive with intra-scan motion.
 
@@ -103,21 +104,41 @@ def simulate_sequence(
     skewed exactly the way a spinning lidar's are. Per-point `time` is the
     raw in-scan timestamp (seconds) — the pipeline's time normalization
     (reference point_time_normalize.h) sees realistic input.
+
+    The drive accelerates from rest to `speed` over `ramp_time` seconds
+    (constant-curvature path), like a real vehicle. Starting at full speed
+    (ramp_time=0) makes the first inter-scan displacement speed*scan_period
+    — at 5 m/s that is 0.5 m, beyond the odometry's 0.3 m correspondence
+    gate (reference cloud_matcher.cpp:139) with a cold identity guess, an
+    out-of-spec cold start for the reference algorithm itself (it assumes
+    the constant-velocity prediction tracks, lidar_odometry.cpp:27-30).
     """
     rng = np.random.default_rng(seed + 100)
     world = World.urban(seed)
     elev = np.deg2rad(np.linspace(-15.0, 15.0, 16))  # VLP16 rings
 
-    # continuous trajectory: pose(t) with constant forward speed + slow yaw
+    # continuous trajectory: constant-curvature path (kappa = yaw_rate/speed
+    # so the steady-state yaw rate is `yaw_rate`), speed ramping linearly
+    # from 0 to `speed` over `ramp_time` seconds. A constant-curvature path
+    # is a circle in arc length s: yaw = kappa*s, x = r*sin(yaw),
+    # y = r*(1-cos(yaw)) — exact for any speed profile.
+    def _arc_length(t: float) -> float:
+        if ramp_time <= 0.0:
+            return speed * t
+        if t < ramp_time:
+            return speed * t * t / (2.0 * ramp_time)
+        return speed * (t - 0.5 * ramp_time)
+
     def pose_at(t: float):
-        yaw = yaw_rate * t
-        if abs(yaw_rate) > 1e-9:
-            # arc motion
-            r = speed / yaw_rate
+        s = _arc_length(t)
+        if abs(yaw_rate) > 1e-9 and speed > 0:
+            r = speed / yaw_rate  # 1/kappa
+            yaw = s / r
             x = r * np.sin(yaw)
             y = r * (1.0 - np.cos(yaw))
         else:
-            x, y = speed * t, 0.0
+            yaw = 0.0
+            x, y = s, 0.0
         return np.array([x, y, sensor_height]), Rotation.from_euler("z", yaw)
 
     stream = ScanStream()

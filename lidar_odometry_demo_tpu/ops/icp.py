@@ -178,33 +178,75 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
         index = vm.build_search_index(m)
 
         def cond(carry):
-            pose, i, step_norm, _ = carry
-            return (i < cfg.icp_max_outer_iterations) & (
-                (step_norm >= cfg.icp_convergence_step_norm)
-                | (i <= cfg.icp_min_outer_iterations - 1)
+            pose, i, step_norm, _, _, _, _, stall = carry
+            not_converged = (step_norm >= cfg.icp_convergence_step_norm) | (
+                i <= cfg.icp_min_outer_iterations - 1
+            )
+            # stall exit: ICP can limit-cycle between correspondence sets
+            # (re-matching relocates the per-set minimum by ~cm and the sets
+            # alternate). The reference burns all 35 outer rounds when that
+            # happens (cloud_matcher.cpp:117 has no cost-based exit) and
+            # returns whatever pose round 35 lands on; we exit once the
+            # best robust cost stops improving and return the best-cost
+            # pose — strictly no worse, and far cheaper.
+            return (
+                (i < cfg.icp_max_outer_iterations)
+                & not_converged
+                & (stall < cfg.icp_stall_exit_rounds)
             )
 
         def body(carry):
-            pose, i, _, _ = carry
+            pose, i, _, _, best_cost, best_pose, best_matches, stall = carry
             R = se3.quat_to_matrix(pose.q)
             corr = vm.find_correspondences_indexed(
                 m, index, query_xyz, query_valid, pose.t, R,
                 voxel_size=voxel_size, max_distance=max_dist,
             )
             n_matches = jnp.sum(corr.valid.astype(jnp.int32))
+            # robust mean cost of THIS pose on its own correspondence set
+            p_w = corr.source_local @ R.T + pose.t
+            r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)
+            absr = jnp.abs(r)
+            hub = jnp.where(
+                absr <= cfg.icp_huber_delta,
+                0.5 * r * r,
+                cfg.icp_huber_delta * (absr - 0.5 * cfg.icp_huber_delta),
+            )
+            cost_sum = jnp.sum(jnp.where(corr.valid, hub, 0.0))
             if axis_name is not None:
                 n_matches = jax.lax.psum(n_matches, axis_name)
+                cost_sum = jax.lax.psum(cost_sum, axis_name)
+            cost = cost_sum / jnp.maximum(n_matches.astype(cost_sum.dtype), 1.0)
+            improved = cost < best_cost * (1.0 - cfg.icp_stall_rel_tolerance)
+            best_pose = _tree_where(improved, pose, best_pose)
+            best_matches = jnp.where(improved, n_matches, best_matches)
+            best_cost = jnp.where(improved, cost, best_cost)
+            stall = jnp.where(improved, 0, stall + 1)
             new_pose, step_norm = _gn_steps(corr, pose, guess.t, cfg, axis_name)
-            return new_pose, i + 1, step_norm, n_matches
+            return (new_pose, i + 1, step_norm, n_matches,
+                    best_cost, best_pose, best_matches, stall)
 
         # 1e9 not inf: f32-extreme values degrade the TPU runtime (see
         # scripts/degrade_sentinel.py)
-        init = (guess, jnp.int32(0), jnp.float32(1e9), jnp.int32(0))
-        pose, iters, step_norm, n_matches = jax.lax.while_loop(cond, body, init)
+        init = (guess, jnp.int32(0), jnp.float32(1e9), jnp.int32(0),
+                jnp.float32(1e9), guess, jnp.int32(0), jnp.int32(0))
+        (pose, iters, step_norm, n_matches,
+         best_cost, best_pose, best_matches, stall) = jax.lax.while_loop(
+            cond, body, init)
+        # clean convergence: the final pose moved < step-norm tolerance from
+        # the last evaluated one — keep it (reference behavior). Stall/cap
+        # exit: return the best-cost pose instead.
+        converged = step_norm < cfg.icp_convergence_step_norm
+        pose = _tree_where(converged, pose, best_pose)
+        n_matches = jnp.where(converged, n_matches, best_matches)
         pose = se3.Pose(pose.t, se3.quat_normalize(pose.q))
         return IcpResult(pose, iters, step_norm, n_matches)
 
     return align
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose, cfg: OdometryConfig) -> IcpResult:

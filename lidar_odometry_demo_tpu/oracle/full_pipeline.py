@@ -49,6 +49,7 @@ def _icp_align(keyframe: DictVoxelGrid, cloud: np.ndarray, guess: _Pose,
     max_d2 = cfg.icp_max_correspondence_distance ** 2
     prior_w = (1.0 / cfg.icp_translation_prior_sigma) ** 2
     last_step = np.inf
+    best_cost, best_pose, stall = np.inf, pose, 0
     for outer in range(cfg.icp_max_outer_iterations):
         # correspondences at current pose
         Rm = pose.R.as_matrix()
@@ -65,6 +66,20 @@ def _icp_align(keyframe: DictVoxelGrid, cloud: np.ndarray, guess: _Pose,
         src = np.asarray(src, np.float64)
         orig = np.asarray(orig, np.float64)
         nrm = np.asarray(nrm, np.float64)
+
+        # stall exit on the best robust mean cost (mirrors ops/icp.py)
+        pw = src @ Rm.T + pose.t
+        r = np.sum((pw - orig) * nrm, axis=1)
+        absr = np.abs(r)
+        hub = np.where(absr <= cfg.icp_huber_delta, 0.5 * r * r,
+                       cfg.icp_huber_delta * (absr - 0.5 * cfg.icp_huber_delta))
+        cost = hub.sum() / max(len(src), 1)
+        if cost < best_cost * (1.0 - cfg.icp_stall_rel_tolerance):
+            best_cost, best_pose, stall = cost, _Pose(pose.t.copy(), pose.R), 0
+        else:
+            stall += 1
+            if stall >= cfg.icp_stall_exit_rounds:
+                return best_pose
 
         for _ in range(cfg.icp_inner_iterations):
             Rm = pose.R.as_matrix()
@@ -87,7 +102,11 @@ def _icp_align(keyframe: DictVoxelGrid, cloud: np.ndarray, guess: _Pose,
             last_step = np.linalg.norm(delta)
         if last_step < cfg.icp_convergence_step_norm and outer > cfg.icp_min_outer_iterations - 1:
             break
-    return pose
+    # converged: keep the final pose (reference behavior). Iteration-cap
+    # exit without convergence: return the best-cost pose (mirrors ops/icp.py).
+    if last_step < cfg.icp_convergence_step_norm:
+        return pose
+    return best_pose if best_cost < np.inf else pose
 
 
 class OracleOdometry:
@@ -110,7 +129,8 @@ class OracleOdometry:
         self.previous = self.current
         rel_inv = relative.inverse()
         q0 = rel_inv.quat_wxyz()
-        xyz_d = deskew_oracle(xyz, tn, rel_inv.t, q0, np.zeros(3), [1, 0, 0, 0])
+        xyz_d = deskew_oracle(xyz, tn, rel_inv.t, q0, np.zeros(3), [1, 0, 0, 0],
+                              forward_translation=cfg.deskew_forward_translation)
         # 3. classify
         planar_mask, normals, img, curv = classify_oracle(
             xyz_d, ring, cfg.num_rings, cfg.scan_width,

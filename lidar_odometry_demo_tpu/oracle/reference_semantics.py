@@ -140,11 +140,14 @@ def classify_oracle(xyz: np.ndarray, ring: np.ndarray, num_rings: int, width: in
     return planar, normals, img, curv
 
 
-def deskew_oracle(xyz: np.ndarray, t: np.ndarray, start_t, start_q, end_t, end_q):
+def deskew_oracle(xyz: np.ndarray, t: np.ndarray, start_t, start_q, end_t, end_q,
+                  forward_translation: bool = False):
     """transformNonRigid (reference cloud_transform.h:16-40) via scipy.
 
-    start_q/end_q are wxyz. Rotation slerps start->end with t; translation
-    interpolates start*t + end*(1-t) (the reference's backwards quirk).
+    start_q/end_q are wxyz. Rotation slerps start->end with t. By default
+    translation interpolates start*t + end*(1-t) — the reference's
+    backwards quirk; forward_translation=True gives the corrected
+    start*(1-t) + end*t (the engine's default, see config.py).
     """
     from scipy.spatial.transform import Rotation, Slerp
 
@@ -156,5 +159,7 @@ def deskew_oracle(xyz: np.ndarray, t: np.ndarray, start_t, start_q, end_t, end_q
     tt = np.clip(t, 0.0, 1.0)
     rot = sl(tt)
     out = rot.apply(xyz)
-    out = out + np.outer(tt, start_t) + np.outer(1.0 - tt, end_t)
+    ws = (1.0 - tt) if forward_translation else tt
+    out = out + ws[:, None] * np.asarray(start_t)[None, :] \
+              + (1.0 - ws)[:, None] * np.asarray(end_t)[None, :]
     return out.astype(np.float32)

@@ -85,8 +85,12 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
         relative = se3.relative_to(state.previous, state.current)
         previous = state.current
 
-        # 3. deskew with relative.inverse() -> identity (lidar_odometry.cpp:30)
-        deskewed = preprocess.deskew(scan, se3.inverse(relative), se3.Pose.identity())
+        # 3. deskew with relative.inverse() -> identity (lidar_odometry.cpp:30;
+        #    translation interpolation corrected by default, see config)
+        deskewed = preprocess.deskew(
+            scan, se3.inverse(relative), se3.Pose.identity(),
+            forward_translation=cfg.deskew_forward_translation,
+        )
 
         # 4. classify planar features (lidar_odometry.cpp:33)
         planar, _, _ = classifier.classify(deskewed, cfg)

@@ -42,7 +42,8 @@ def test_jax_matches_numpy_oracle_trajectory():
     jax_traj = np.asarray(jax_traj)
     oracle_traj = np.asarray(oracle_traj)
     err = np.linalg.norm(jax_traj - oracle_traj, axis=1)
-    # both must have moved
-    assert np.linalg.norm(jax_traj[-1]) > 0.5
+    # both must have moved (8 scans x 0.1 s at speed 2.0 with the default
+    # 2 s acceleration ramp covers ~0.32 m)
+    assert np.linalg.norm(jax_traj[-1]) > 0.2
     # implementations agree to well under the accuracy envelope
     assert err.max() < 0.05, (err, jax_traj[-1], oracle_traj[-1])

@@ -71,8 +71,9 @@ def test_sequence_tracks_ground_truth(drive):
     ate_abs = ate_rmse(est, gt_rel)
     assert ate_abs < 0.8, ate_abs
 
-    # the final pose must have moved a sensible distance
-    assert np.linalg.norm(est[-1]) > 5.0
+    # the final pose must have moved a sensible distance (25 scans at
+    # speed 3.0 with the default 2 s ramp covers ~4.5 m)
+    assert np.linalg.norm(est[-1]) > 4.0
 
 
 def test_first_scan_initializes_map_and_keeps_identity(drive):

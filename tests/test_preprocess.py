@@ -53,13 +53,17 @@ def test_deskew_matches_oracle(rng):
         jnp.asarray([0.0, 0.0, 0.0], jnp.float32),
         se3.quat_from_axis_angle(jnp.asarray([0.3, 0.4, 0.866], jnp.float32), -0.05),
     )
-    out = preprocess.deskew(scan, start, end)
     v = np.asarray(scan.valid)
-    expect = deskew_oracle(
-        np.asarray(scan.xyz)[v], np.asarray(scan.time)[v],
-        np.asarray(start.t), np.asarray(start.q), np.asarray(end.t), np.asarray(end.q),
-    )
-    np.testing.assert_allclose(np.asarray(out.xyz)[v], expect, atol=1e-4)
+    # both translation-interpolation modes must match the oracle
+    for forward in (True, False):
+        out = preprocess.deskew(scan, start, end, forward_translation=forward)
+        expect = deskew_oracle(
+            np.asarray(scan.xyz)[v], np.asarray(scan.time)[v],
+            np.asarray(start.t), np.asarray(start.q),
+            np.asarray(end.t), np.asarray(end.q),
+            forward_translation=forward,
+        )
+        np.testing.assert_allclose(np.asarray(out.xyz)[v], expect, atol=1e-4)
 
 
 def test_deskew_identity_poses_is_noop(rng):
