@@ -53,6 +53,13 @@ class OdometryConfig:
     # best-cost pose (strictly no worse, far cheaper). Set to 35 to disable.
     icp_stall_exit_rounds: int = 3
     icp_stall_rel_tolerance: float = 1e-4  # relative cost-improvement bar
+    # Gather each query's 27-voxel candidates once per scan (at the guess
+    # pose) and re-match against the cache every outer iteration, instead
+    # of re-gathering from the table per iteration. Random-access gathers
+    # run ~20x below stream bandwidth on TPU; the cache turns the per-
+    # iteration search into linear VPU math (see vm.CandidateSet). Set
+    # False for the literal re-search-every-iteration reference semantics.
+    icp_cached_candidates: bool = True
 
     # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---
     curvature_window: int = 4          # :83

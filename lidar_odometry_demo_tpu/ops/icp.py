@@ -170,12 +170,23 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
     voxel_size = cfg.keyframe_voxel_size
     max_dist = cfg.icp_max_correspondence_distance
 
-    def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose) -> IcpResult:
+    def align(m: vm.VoxelMap, query_xyz, query_valid, guess: se3.Pose,
+              index: vm.SearchIndex | None = None) -> IcpResult:
         # The map is frozen for the whole ICP loop: build the column
-        # directory + fused candidate rows once, reuse in every outer
-        # iteration (replaces a 17-step binary search per column per
-        # iteration; see vm.SearchIndex).
-        index = vm.build_search_index(m)
+        # directory + fused candidate rows once (or accept the caller's —
+        # the pipeline shares one index between ICP and map_update), reuse
+        # in every outer iteration (replaces a 17-step binary search per
+        # column per iteration; see vm.SearchIndex).
+        if index is None:
+            index = vm.build_search_index(m)
+        if cfg.icp_cached_candidates:
+            # gather every query's 27-voxel candidates once at the guess
+            # pose; each outer iteration re-matches against the cache with
+            # pure streaming math (see vm.CandidateSet)
+            cand = vm.gather_candidates(
+                m, index, query_xyz, query_valid,
+                guess.t, se3.quat_to_matrix(guess.q), voxel_size=voxel_size,
+            )
 
         def cond(carry):
             pose, i, step_norm, _, _, _, _, stall = carry
@@ -198,10 +209,16 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
         def body(carry):
             pose, i, _, _, best_cost, best_pose, best_matches, stall = carry
             R = se3.quat_to_matrix(pose.q)
-            corr = vm.find_correspondences_indexed(
-                m, index, query_xyz, query_valid, pose.t, R,
-                voxel_size=voxel_size, max_distance=max_dist,
-            )
+            if cfg.icp_cached_candidates:
+                corr = vm.match_candidates(
+                    m, cand, query_xyz, query_valid, pose.t, R,
+                    max_distance=max_dist,
+                )
+            else:
+                corr = vm.find_correspondences_indexed(
+                    m, index, query_xyz, query_valid, pose.t, R,
+                    voxel_size=voxel_size, max_distance=max_dist,
+                )
             n_matches = jnp.sum(corr.valid.astype(jnp.int32))
             # robust mean cost of THIS pose on its own correspondence set
             p_w = corr.source_local @ R.T + pose.t

@@ -110,6 +110,10 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
         initialized = vm.map_size(state.keyframe) > 0
         guess = se3.compose(state.current, relative)
 
+        # one search index per scan, shared by the ICP loop and the map
+        # update's insert lookup (same frozen map + origin)
+        index = vm.build_search_index(state.keyframe)
+
         # 7. ICP + divergence guard (lidar_odometry.cpp:49-63); first scan
         #    skips straight to map init (lidar_odometry.cpp:40-44)
         def do_icp(_):
@@ -123,7 +127,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
                 start = jax.lax.axis_index(sp_axis) * chunk
                 q_xyz = jax.lax.dynamic_slice_in_dim(q_xyz, start, chunk, 0)
                 q_valid = jax.lax.dynamic_slice_in_dim(q_valid, start, chunk, 0)
-            res = align_fn(state.keyframe, q_xyz, q_valid, guess)
+            res = align_fn(state.keyframe, q_xyz, q_valid, guess, index)
             ok = se3.rotation_within_threshold(
                 se3.quat_mul(res.pose.q, se3.quat_conj(state.current.q)),
                 cfg.angular_divergence_threshold,
@@ -162,6 +166,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
         keyframe = vm.map_update(
             state.keyframe, upd_world, pose.t,
             voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range,
+            index=index,
         )
 
         new_state = OdometryState(keyframe=keyframe, current=pose, previous=previous)

@@ -19,24 +19,22 @@ from lidar_odometry_demo_tpu.ops import voxel_map as vm
 from lidar_odometry_demo_tpu.pipeline.odometry import OdometryState
 
 
-_FIELDS = [
-    "keyframe.keys", "keyframe.count", "keyframe.pts", "keyframe.nrm",
-    "keyframe.origin", "current.t", "current.q", "previous.t", "previous.q",
-]
+_FIELDS = (
+    ["keyframe." + f for f in vm.VoxelMap._fields]
+    + ["current.t", "current.q", "previous.t", "previous.q"]
+)
 
 
 def save_npz(path: str, state: OdometryState) -> None:
-    flat = {
-        "keyframe.keys": state.keyframe.keys,
-        "keyframe.count": state.keyframe.count,
-        "keyframe.pts": state.keyframe.pts,
-        "keyframe.nrm": state.keyframe.nrm,
-        "keyframe.origin": state.keyframe.origin,
-        "current.t": state.current.t,
-        "current.q": state.current.q,
-        "previous.t": state.previous.t,
-        "previous.q": state.previous.q,
-    }
+    flat = {"keyframe." + f: getattr(state.keyframe, f) for f in vm.VoxelMap._fields}
+    flat.update(
+        {
+            "current.t": state.current.t,
+            "current.q": state.current.q,
+            "previous.t": state.previous.t,
+            "previous.q": state.previous.q,
+        }
+    )
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
 
 
@@ -47,11 +45,7 @@ def load_npz(path: str) -> OdometryState:
         raise ValueError(f"checkpoint missing fields: {missing}")
     return OdometryState(
         keyframe=vm.VoxelMap(
-            keys=jnp.asarray(z["keyframe.keys"]),
-            count=jnp.asarray(z["keyframe.count"]),
-            pts=jnp.asarray(z["keyframe.pts"]),
-            nrm=jnp.asarray(z["keyframe.nrm"]),
-            origin=jnp.asarray(z["keyframe.origin"]),
+            **{f: jnp.asarray(z["keyframe." + f]) for f in vm.VoxelMap._fields}
         ),
         current=se3.Pose(jnp.asarray(z["current.t"]), jnp.asarray(z["current.q"])),
         previous=se3.Pose(jnp.asarray(z["previous.t"]), jnp.asarray(z["previous.q"])),

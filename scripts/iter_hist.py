@@ -1,7 +1,6 @@
 """Iteration-count + match-count per scan for the bench sequence."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

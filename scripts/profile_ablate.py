@@ -6,8 +6,11 @@ program with individual stages disabled and compare wall times with a
 value-fetch barrier (block_until_ready can return early here).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -66,10 +69,11 @@ def make_step(cfg: OdometryConfig, *, icp_on=True, map_on=True, pre_on=True,
 
         initialized = vm.map_size(state.keyframe) > 0
         guess = se3.compose(state.current, relative)
+        index = vm.build_search_index(state.keyframe)
 
         if icp_on:
             def do_icp(_):
-                res = align_fn(state.keyframe, match_ds.xyz, match_ds.valid, guess)
+                res = align_fn(state.keyframe, match_ds.xyz, match_ds.valid, guess, index)
                 ok = se3.rotation_within_threshold(
                     se3.quat_mul(res.pose.q, se3.quat_conj(state.current.q)),
                     cfg.angular_divergence_threshold)
@@ -91,7 +95,8 @@ def make_step(cfg: OdometryConfig, *, icp_on=True, map_on=True, pre_on=True,
             upd_world = preprocess.transform_with_normals(update_ds, pose)
             keyframe = vm.map_update(
                 state.keyframe, upd_world, pose.t,
-                voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range)
+                voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range,
+                index=index)
         else:
             keyframe = state.keyframe
 

@@ -1,0 +1,144 @@
+"""Amortized sub-step timings of the odometry hot path on realistic state.
+
+Builds a realistic 10-scan map, then times each pipeline sub-step in an
+N-iteration fori_loop inside one jit program (the ~25 ms dispatch floor
+divides away). Run single-lane and vmapped x8.
+
+Usage: python scripts/profile_substeps.py [B]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_odometry_demo_tpu.config import OdometryConfig
+from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+from lidar_odometry_demo_tpu.ops import classifier, icp, preprocess, se3
+from lidar_odometry_demo_tpu.ops import voxel_map as vm
+from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+from lidar_odometry_demo_tpu.pipeline import odometry
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 0  # 0 = single lane
+N = 20
+
+cfg = OdometryConfig()
+drive = simulate_sequence(num_scans=11, width=cfg.scan_width, seed=1, speed=5.0)
+scans = [scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                         cfg.max_raw_points) for s in drive.scans]
+stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans[:10])
+run = odometry.make_sequence_runner(cfg)
+state, _ = run(odometry.init_state(cfg), stacked)
+jax.block_until_ready(state)
+
+# realistic per-scan inputs from scan 10
+raw = scans[10]
+scan = preprocess.time_normalize(raw)
+relative = se3.relative_to(state.previous, state.current)
+deskewed = preprocess.deskew(scan, se3.inverse(relative), se3.Pose.identity())
+planar, _, _ = classifier.classify(deskewed, cfg)
+planar = preprocess.range_filter(planar, cfg.lidar_min_range, cfg.lidar_max_range)
+match_ds = vm.downsample(planar, voxel_size=cfg.keyframe_matching_voxel_size,
+                         budget=cfg.max_match_points)
+update_ds = vm.downsample(planar, voxel_size=cfg.keyframe_update_voxel_size,
+                          budget=cfg.max_update_points)
+guess = se3.compose(state.current, relative)
+upd_world = preprocess.transform_with_normals(update_ds, guess)
+m = state.keyframe
+index = vm.build_search_index(m)
+Rg = se3.quat_to_matrix(guess.q)
+cand = vm.gather_candidates(m, index, match_ds.xyz, match_ds.valid, guess.t, Rg,
+                            voxel_size=cfg.keyframe_voxel_size)
+print(f"map voxels: {int(vm.map_size(m))}", file=sys.stderr)
+
+
+def maybe_batch(tree):
+    if B == 0:
+        return tree
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (B, *x.shape)).copy(), tree)
+
+
+def bench(name, fn, *args, iters=N):
+    args = tuple(maybe_batch(a) for a in args)
+    inner = fn if B == 0 else jax.vmap(fn)
+
+    @jax.jit
+    def run(*a):
+        def step(i, acc):
+            out = inner(*a)
+            return acc + jax.tree.reduce(
+                lambda s, x: s + jnp.sum(x[..., 0] if x.ndim else x).astype(jnp.float32),
+                out, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    r = run(*args); _ = float(r)
+    ts = []
+    for _ in range(2):
+        t0 = time.time(); r = run(*args); _ = float(r); ts.append(time.time() - t0)
+    lanes = max(B, 1)
+    print(f"{name:40s} {1e3*min(ts)/iters/lanes:8.3f} ms/lane", flush=True)
+
+
+print(f"B={B or 1}", file=sys.stderr)
+
+bench("build_search_index", lambda mm: vm.build_search_index(mm).dir_rows, m)
+bench("rows64 build only",
+      lambda pts, row, cnt: pts.reshape(cfg.map_capacity, -1)[row], m.pts, m.row, m.count)
+bench("gather_candidates",
+      lambda mm, q, v: vm.gather_candidates(
+          mm, vm.build_search_index(mm), q, v, guess.t, Rg,
+          voxel_size=cfg.keyframe_voxel_size).pts,
+      m, match_ds.xyz, match_ds.valid)
+bench("match_candidates",
+      lambda mm, cd, q, v: vm.match_candidates(
+          mm, cd, q, v, guess.t, Rg,
+          max_distance=cfg.icp_max_correspondence_distance).plane_origin,
+      m, cand, match_ds.xyz, match_ds.valid)
+
+
+def gn(mm, cd, q, v):
+    corr = vm.match_candidates(mm, cd, q, v, guess.t, Rg,
+                               max_distance=cfg.icp_max_correspondence_distance)
+    pose, sn = icp._gn_steps(corr, guess, guess.t, cfg)
+    return pose.t
+
+
+bench("match + 4 GN steps", gn, m, cand, match_ds.xyz, match_ds.valid)
+bench("map_update",
+      lambda mm, nw: vm.map_update(
+          mm, nw, guess.t, voxel_size=cfg.keyframe_voxel_size,
+          radius=cfg.keyframe_cleanup_range).keys,
+      m, upd_world)
+
+# map_update internals
+new_keys = vm.pack_keys(vm.voxel_indices(upd_world.xyz, cfg.keyframe_voxel_size),
+                        m.origin, upd_world.valid)
+bench("  argsort new keys (16k)", lambda k: jnp.argsort(k, stable=True), new_keys)
+bench("  searchsorted 16k in 131k",
+      lambda tk, q: jnp.searchsorted(tk, q).astype(jnp.int32), m.keys, new_keys)
+bench("  argsort table keys (131k)", lambda k: jnp.argsort(k), m.keys)
+bench("  argsort occ bool (131k)", lambda o: jnp.argsort(o, stable=True), m.occ)
+
+
+def permute_small(keys, count, row, anchor, perm):
+    return keys[perm] + count[perm] + row[perm] + jnp.sum(anchor[perm], -1).astype(jnp.int32)
+
+
+perm = jnp.argsort(m.keys)
+bench("  permute 4 small arrays", permute_small, m.keys, m.count, m.row, m.anchor, perm)
+
+
+def scatter_payload(pts, nrm, xyz, nrml):
+    n = xyz.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32) % cfg.map_capacity
+    w = jnp.zeros(n, jnp.int32)
+    return pts.at[rows, w].set(xyz, mode="drop")[0, 0, 0]
+
+
+bench("  scatter 16k payload rows", scatter_payload, m.pts, m.nrm,
+      upd_world.xyz, upd_world.normal)

@@ -22,7 +22,7 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 num_scans = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 width = int(sys.argv[3]) if len(sys.argv) > 3 else 1800
 
-cfg = OdometryConfig(scan_width=width) if width != 1800 else OdometryConfig()
+cfg = OdometryConfig(scan_width=width, max_raw_points=max(32768, 1 << (16 * width - 1).bit_length()))
 print(f"devices={jax.devices()} B={B} scans={num_scans} W={cfg.scan_width}", flush=True)
 
 drive = simulate_sequence(num_scans=num_scans, width=cfg.scan_width, seed=42, speed=5.0, yaw_rate=0.08)

@@ -47,3 +47,28 @@ def test_fused_update_reuses_evicted_voxel(rng):
     m2 = vm.map_update(m, _pts(new, capacity=4), center, voxel_size=voxel, radius=0.1)
     pts, _ = vm.get_cloud(m2)
     assert sorted(map(tuple, np.round(pts, 4))) == [(5.3, 5.3, 0.3)]
+
+
+def test_map_update_with_index_matches_searchsorted(rng):
+    """The directory-lookup insert path must equal the searchsorted path
+    exactly (same table state), including tombstone reuse after eviction."""
+    import jax.numpy as jnp
+    from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
+
+    m = vm.map_init(4096, 5)
+    for step in range(4):
+        n = 600
+        xyz = rng.uniform(-8, 8, (n, 3)).astype(np.float32) + step * 1.5
+        nrm = rng.normal(size=(n, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        pts = PointsWithNormals(
+            xyz=jnp.asarray(xyz), normal=jnp.asarray(nrm),
+            valid=jnp.ones(n, bool))
+        center = jnp.asarray([step * 1.5, 0.0, 0.0], jnp.float32)
+        index = vm.build_search_index(m)
+        a = vm.map_update(m, pts, center, voxel_size=0.2, radius=6.0)
+        b = vm.map_update(m, pts, center, voxel_size=0.2, radius=6.0, index=index)
+        for f in vm.VoxelMap._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f)
+        m = b

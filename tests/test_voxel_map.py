@@ -210,3 +210,42 @@ def test_table_overflow_drops_gracefully(rng):
     # table remains sorted & consistent
     keys = np.asarray(m.keys)
     assert np.all(np.diff(keys.astype(np.int64)) >= 0)
+
+
+def test_cached_candidates_match_exact_search(rng):
+    """match_candidates at the gather pose == find_correspondences exactly,
+    and stays consistent under small pose perturbations (the ICP use)."""
+    from lidar_odometry_demo_tpu.ops import se3
+
+    voxel = 0.3
+    m = vm.map_init(2048, 5)
+    stored = rng.uniform(-3, 3, (500, 3)).astype(np.float32)
+    nrm = rng.normal(size=(500, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    m = vm.map_insert(m, _pts(stored, nrm, capacity=512), voxel_size=voxel)
+
+    queries = jnp.asarray(rng.uniform(-3.5, 3.5, (128, 3)).astype(np.float32))
+    valid = jnp.ones(128, bool)
+    t = jnp.asarray([0.05, -0.02, 0.01], jnp.float32)
+    R = jnp.eye(3)
+
+    index = vm.build_search_index(m)
+    exact = vm.find_correspondences_indexed(
+        m, index, queries, valid, t, R, voxel_size=voxel, max_distance=0.3)
+    cand = vm.gather_candidates(m, index, queries, valid, t, R, voxel_size=voxel)
+    cached = vm.match_candidates(m, cand, queries, valid, t, R, max_distance=0.3)
+
+    np.testing.assert_array_equal(np.asarray(exact.valid), np.asarray(cached.valid))
+    np.testing.assert_allclose(
+        np.asarray(exact.plane_origin), np.asarray(cached.plane_origin), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(exact.plane_normal), np.asarray(cached.plane_normal), atol=0)
+
+    # a few mm of pose motion (the intra-ICP regime): results still agree
+    # except possibly at voxel-boundary crossings (none for this geometry)
+    t2 = t + jnp.asarray([0.004, -0.003, 0.002], jnp.float32)
+    exact2 = vm.find_correspondences_indexed(
+        m, index, queries, valid, t2, R, voxel_size=voxel, max_distance=0.3)
+    cached2 = vm.match_candidates(m, cand, queries, valid, t2, R, max_distance=0.3)
+    agree = np.mean(np.asarray(exact2.valid) == np.asarray(cached2.valid))
+    assert agree > 0.95, agree
