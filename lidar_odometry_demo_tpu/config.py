@@ -49,10 +49,15 @@ class OdometryConfig:
     # Stall exit (beyond-reference): ICP can limit-cycle between
     # correspondence sets; the reference burns all 35 outer rounds and keeps
     # round 35's pose. We track the best robust mean cost seen and exit
-    # after this many consecutive non-improving rounds, returning the
-    # best-cost pose (strictly no worse, far cheaper). Set to 35 to disable.
+    # after this many consecutive non-improving rounds. Set to 35 to disable
+    # the early exit (the full reference iteration budget is then spent).
     icp_stall_exit_rounds: int = 3
     icp_stall_rel_tolerance: float = 1e-4  # relative cost-improvement bar
+    # On a non-converged exit (stall or 35-round cap), return the best-cost
+    # pose seen instead of the last round's pose (strictly no worse). The
+    # reference always returns the final round's pose
+    # (cloud_matcher.cpp:175-177); set False for exact parity at the cap.
+    icp_best_pose_exit: bool = True
     # Gather each query's 27-voxel candidates once per scan (at the guess
     # pose) and re-match against the cache every outer iteration, instead
     # of re-gathering from the table per iteration. Random-access gathers
@@ -100,6 +105,32 @@ class OdometryConfig:
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+def reference_parity(base: OdometryConfig | None = None) -> OdometryConfig:
+    """Config preset with every beyond-reference default flipped back to
+    strict reference semantics (src/cloud_matcher.cpp, cloud_transform.h):
+
+    - deskew translation interpolated backwards in time
+      (cloud_transform.h:29-30 quirk),
+    - correspondences re-searched from the table every outer iteration
+      (findMatchingPairs per round, cloud_matcher.cpp:138-139),
+    - the full 35-round outer budget with no stall exit and the final
+      round's pose returned on cap exit (cloud_matcher.cpp:117,175-177).
+
+    Parity tests and benchmarks should use this preset instead of flipping
+    individual knobs (which drift as knobs are added).
+    """
+    base = base or OdometryConfig()
+    return base.replace(
+        deskew_forward_translation=False,
+        icp_cached_candidates=False,
+        icp_stall_exit_rounds=base.icp_max_outer_iterations,
+        icp_best_pose_exit=False,
+    )
+
+
+REFERENCE_PARITY = reference_parity()
 
 
 # Small shapes for unit tests / dry runs: keeps compile times low.

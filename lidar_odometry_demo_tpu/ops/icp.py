@@ -152,7 +152,8 @@ def _gn_steps(
     )
 
 
-def make_align(cfg: OdometryConfig, axis_name: str | None = None):
+def make_align(cfg: OdometryConfig, axis_name: str | None = None,
+               owner_fn=None):
     """Build the jittable align function for a given config.
 
     align(map, query_xyz (Q,3) local, query_valid (Q,), guess: Pose)
@@ -166,6 +167,15 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
     shard_map with the query axis sharded: each device searches its slice of
     queries against its (replicated or sharded) map and the 6x6 normal
     equations are psum-reduced, so every device takes the identical step.
+
+    `owner_fn(m, q_world) -> bool mask` restricts each device to the
+    queries it owns under a spatially-partitioned map
+    (parallel/spatial.py): with cached candidates the mask is evaluated
+    once at the guess pose (matching the cache's frozen-neighborhood
+    semantics); with exact re-search it is re-evaluated at the current
+    pose every outer iteration, so a query crossing a shard boundary
+    mid-solve is handed to its new owner (the partition stays exact: every
+    query has exactly one owner at any pose, and H/b are psum-reduced).
     """
     voxel_size = cfg.keyframe_voxel_size
     max_dist = cfg.icp_max_correspondence_distance
@@ -180,11 +190,16 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
         if index is None:
             index = vm.build_search_index(m)
         if cfg.icp_cached_candidates:
+            gather_valid = query_valid
+            if owner_fn is not None:
+                Rg = se3.quat_to_matrix(guess.q)
+                gather_valid = query_valid & owner_fn(
+                    m, query_xyz @ Rg.T + guess.t)
             # gather every query's 27-voxel candidates once at the guess
             # pose; each outer iteration re-matches against the cache with
             # pure streaming math (see vm.CandidateSet)
             cand = vm.gather_candidates(
-                m, index, query_xyz, query_valid,
+                m, index, query_xyz, gather_valid,
                 guess.t, se3.quat_to_matrix(guess.q), voxel_size=voxel_size,
             )
 
@@ -211,12 +226,16 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
             R = se3.quat_to_matrix(pose.q)
             if cfg.icp_cached_candidates:
                 corr = vm.match_candidates(
-                    m, cand, query_xyz, query_valid, pose.t, R,
+                    m, cand, query_xyz, gather_valid, pose.t, R,
                     max_distance=max_dist,
                 )
             else:
+                iter_valid = query_valid
+                if owner_fn is not None:
+                    iter_valid = query_valid & owner_fn(
+                        m, query_xyz @ R.T + pose.t)
                 corr = vm.find_correspondences_indexed(
-                    m, index, query_xyz, query_valid, pose.t, R,
+                    m, index, query_xyz, iter_valid, pose.t, R,
                     voxel_size=voxel_size, max_distance=max_dist,
                 )
             n_matches = jnp.sum(corr.valid.astype(jnp.int32))
@@ -252,10 +271,13 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None):
             cond, body, init)
         # clean convergence: the final pose moved < step-norm tolerance from
         # the last evaluated one — keep it (reference behavior). Stall/cap
-        # exit: return the best-cost pose instead.
-        converged = step_norm < cfg.icp_convergence_step_norm
-        pose = _tree_where(converged, pose, best_pose)
-        n_matches = jnp.where(converged, n_matches, best_matches)
+        # exit: return the best-cost pose instead (unless icp_best_pose_exit
+        # is off, in which case the final round's pose is kept everywhere —
+        # the reference's exact cap-exit behavior, cloud_matcher.cpp:175-177).
+        if cfg.icp_best_pose_exit:
+            converged = step_norm < cfg.icp_convergence_step_norm
+            pose = _tree_where(converged, pose, best_pose)
+            n_matches = jnp.where(converged, n_matches, best_matches)
         pose = se3.Pose(pose.t, se3.quat_normalize(pose.q))
         return IcpResult(pose, iters, step_norm, n_matches)
 

@@ -146,12 +146,18 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array,
     Out-of-range indices (beyond the 11/11/9-bit window around origin) and
     invalid entries map to EMPTY_KEY, which sorts after every valid key.
 
-    map_window=True additionally restricts z to the column directory's
-    +-_DIR_ZHALF window (see build_search_index) — used for every KEYFRAME
-    table insert so the directory always covers the whole table. At the
-    0.2 m keyframe voxel that is +-25.6 m of vertical extent around the
-    sensor, beyond VLP16 reach (+-15 deg at 80 m = +-20.7 m); scan-local
-    downsample grids keep the full 9-bit z range (needed at 0.1 m).
+    map_window=True additionally restricts the key domain to exactly what
+    the column directory can see (see build_search_index): z to the
+    +-_DIR_ZHALF window and x/y to the +-_GHALF column window. Used for
+    every KEYFRAME table insert so the table never holds a key the
+    directory misses — this is what makes the index-accelerated insert in
+    _insert_impl safe (a directory miss is then always a true miss; an
+    out-of-window point can never alias an in-table key and insert a
+    duplicate). At the 0.2 m keyframe voxel the windows are +-25.6 m
+    vertical (beyond VLP16 reach: +-15 deg at 80 m = +-20.7 m) and
+    +-102.4 m horizontal (beyond the 80 m radius eviction + rebase).
+    Scan-local downsample grids keep the full 11/11/9-bit range (needed
+    at 0.1 m).
     """
     rel = idx - origin
     rx = rel[..., 0] + _XOFF
@@ -163,7 +169,12 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array,
         & (rz >= 0) & (rz < (1 << _ZB) - 1)
     )
     if map_window:
-        in_range = in_range & (rz >= _DIR_ZLO) & (rz < _DIR_ZLO + 2 * _DIR_ZHALF)
+        in_range = (
+            in_range
+            & (rz >= _DIR_ZLO) & (rz < _DIR_ZLO + 2 * _DIR_ZHALF)
+            & (rx >= _XOFF - _GHALF) & (rx < _XOFF + _GHALF)
+            & (ry >= _YOFF - _GHALF) & (ry < _YOFF + _GHALF)
+        )
     key = (rx << (_YB + _ZB)) | (ry << _ZB) | rz
     return jnp.where(valid & in_range, key, EMPTY_KEY)
 
@@ -466,10 +477,11 @@ def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float, voxel_size:
 # fused per-scan maintenance: evict + rebase + insert with ONE table sort
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("voxel_size", "radius"))
+@partial(jax.jit, static_argnames=("voxel_size", "radius", "origin_quantum"))
 def map_update(
     m: VoxelMap, new: PointsWithNormals, center: jax.Array,
     *, voxel_size: float, radius: float, index: SearchIndex | None = None,
+    origin_quantum: int = 1,
 ) -> VoxelMap:
     """radius_cleanup followed by map_insert, fused to a single sort pass.
 
@@ -479,12 +491,23 @@ def map_update(
     (key kept, count zeroed — a uniform key shift preserves sortedness, so
     lookups during insertion still work), inserts, then drops unreused
     tombstones and sorts once.
+
+    origin_quantum > 1 snaps the rebased origin's x/y down to a multiple of
+    the quantum (floor division — deterministic). Used by the spatially
+    sharded map (parallel/spatial.py): column ownership `gx mod N` is
+    invariant under origin shifts that are multiples of N, so shard
+    ownership never changes across rebases and voxels never migrate
+    between devices. The origin is then at most quantum-1 voxels from the
+    sensor — negligible against the +-512-voxel key window.
     """
     # rebase + tombstone eviction (keys stay sorted: uniform shift). The
     # tombstoned voxel keeps its key and physical row so a same-scan
     # re-insert can reuse both; _insert_impl drops unreused tombstones and
     # frees their rows at the end.
     new_origin = voxel_indices(center, voxel_size)
+    if origin_quantum > 1:
+        q = np.int32(origin_quantum)
+        new_origin = new_origin.at[:2].set((new_origin[:2] // q) * q)
     shift = _shift_key(new_origin - m.origin)
     occupied = m.keys != EMPTY_KEY
     keys1 = jnp.where(occupied, m.keys - shift, EMPTY_KEY)
@@ -720,8 +743,9 @@ class CandidateSet(NamedTuple):
     the only deviation from re-searching each iteration is that a query
     whose pose-updated position crosses a voxel boundary keeps its
     guess-pose neighborhood (bounded by the intra-ICP pose motion, << the
-    0.2 m voxel + 0.3 m gate slack — validated trajectory-level in
-    tests/test_icp.py).
+    0.2 m voxel + 0.3 m gate slack — validated against the exact search in
+    tests/test_voxel_map.py::test_cached_candidates_match_exact_search and
+    trajectory-level vs the oracle in tests/test_oracle_equivalence.py).
 
     pts:   (Q, 27, K, 3) candidate points, (col, z) in reference scan order
     ok:    (Q, 27, K)    candidate validity (present voxel, k < count)

@@ -79,7 +79,7 @@ def _icp_align(keyframe: DictVoxelGrid, cloud: np.ndarray, guess: _Pose,
         else:
             stall += 1
             if stall >= cfg.icp_stall_exit_rounds:
-                return best_pose
+                return best_pose if cfg.icp_best_pose_exit else pose
 
         for _ in range(cfg.icp_inner_iterations):
             Rm = pose.R.as_matrix()
@@ -103,8 +103,10 @@ def _icp_align(keyframe: DictVoxelGrid, cloud: np.ndarray, guess: _Pose,
         if last_step < cfg.icp_convergence_step_norm and outer > cfg.icp_min_outer_iterations - 1:
             break
     # converged: keep the final pose (reference behavior). Iteration-cap
-    # exit without convergence: return the best-cost pose (mirrors ops/icp.py).
-    if last_step < cfg.icp_convergence_step_norm:
+    # exit without convergence: return the best-cost pose (mirrors ops/icp.py)
+    # unless icp_best_pose_exit is off — the reference keeps the final
+    # round's pose at the cap (cloud_matcher.cpp:175-177).
+    if last_step < cfg.icp_convergence_step_norm or not cfg.icp_best_pose_exit:
         return pose
     return best_pose if best_cost < np.inf else pose
 

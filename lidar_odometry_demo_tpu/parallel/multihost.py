@@ -1,21 +1,30 @@
-"""Multi-host execution helpers (TPU pod slices / CPU test fabric).
+"""Multi-host execution (TPU pod slices / multi-process CPU test fabric).
 
 The reference is strictly single-process (SURVEY.md §2: no distributed
 layer). For the TPU build, multi-host scaling (BASELINE.json config 5:
 N>=2 hosts) uses the standard JAX recipe: jax.distributed.initialize once
 per process, then build meshes over jax.devices() — every sharded program
-in this package (parallel/batched.py, parallel/pose_graph.py, the sp-sharded
-ICP) is mesh-agnostic and runs unchanged on a pod slice, with psum riding
-ICI within a slice and DCN across slices.
+in this package (parallel/batched.py, parallel/spatial.py,
+parallel/pose_graph.py, the sp-sharded ICP) is mesh-agnostic and runs
+unchanged on a pod slice, with psum riding ICI within a slice and DCN
+across slices.
 
-On a single machine the same code paths are exercised with
-xla_force_host_platform_device_count (tests/conftest.py) and by the
-driver's dryrun_multichip.
+`demo_worker` is the runnable multi-process entry point: it executes the
+dp-sharded batched odometry fleet across ALL processes' devices and writes
+a scaling report. It is exercised for real (2 processes, CPU fabric) by
+scripts/multihost_demo.py + tests/test_multihost.py, and is the same code
+path a TPU pod slice runs (jax.distributed auto-detects there).
 """
 
 from __future__ import annotations
 
+import json
+import time
+
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 
 
 def initialize(coordinator_address: str | None = None,
@@ -35,7 +44,6 @@ def initialize(coordinator_address: str | None = None,
 
 def global_mesh(dp: int | None = None, sp: int = 1):
     """Mesh over all global devices: dp defaults to n_devices // sp."""
-    import numpy as np
     from jax.sharding import Mesh
 
     devs = jax.devices()
@@ -50,7 +58,115 @@ def scaling_report(mesh, scans_per_sec: float, baseline_single: float) -> dict:
     ideal = baseline_single * n
     return {
         "devices": int(n),
+        "processes": jax.process_count(),
         "scans_per_sec": scans_per_sec,
         "single_device_scans_per_sec": baseline_single,
         "scaling_efficiency": scans_per_sec / ideal if ideal > 0 else 0.0,
     }
+
+
+def demo_worker(out_path: str | None = None, n_scans: int = 4,
+                reps: int = 3) -> dict:
+    """Run the dp-sharded batched odometry fleet over ALL global devices.
+
+    Call after `initialize()`. Every process executes the same SPMD
+    program; global input arrays are assembled from per-process local
+    shards (one independent sequence lane per device). Process 0 writes a
+    JSON report: per-lane trajectory agreement vs a single-device run and
+    the multi-device scaling efficiency. Returns the report dict.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lidar_odometry_demo_tpu.config import TINY
+    from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+    from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+    from lidar_odometry_demo_tpu.parallel import batched
+    from lidar_odometry_demo_tpu.pipeline import odometry
+
+    cfg = TINY
+    mesh = global_mesh(sp=1)
+    n_lanes = mesh.shape["dp"]
+
+    # deterministic sim -> every process holds the same host data and can
+    # donate the shards it is responsible for
+    drive = simulate_sequence(num_scans=n_scans, width=cfg.scan_width, seed=3,
+                              speed=2.0, yaw_rate=0.05)
+    scans = [
+        scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                        cfg.max_raw_points)
+        for s in drive.scans
+    ]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *scans)
+    scans_b_host = jax.tree.map(
+        lambda x: np.broadcast_to(x[:, None], (x.shape[0], n_lanes, *x.shape[1:])),
+        stacked,
+    )
+    state_host = jax.tree.map(
+        np.asarray, batched.init_batched_state(cfg, n_lanes))
+
+    def globalize(tree, spec):
+        shard = NamedSharding(mesh, spec)
+
+        def make(x):
+            return jax.make_array_from_callback(
+                x.shape, shard, lambda idx: np.ascontiguousarray(x[idx]))
+
+        return jax.tree.map(make, tree)
+
+    scans_b = globalize(scans_b_host, P(None, "dp"))
+    state_b0 = globalize(state_host, P("dp"))
+
+    step = odometry.make_process_scan(cfg)
+    vstep = jax.vmap(step)
+
+    @jax.jit
+    def run(state_b, sb):
+        return jax.lax.scan(vstep, state_b, sb)
+
+    t0 = time.time()
+    state, diags = run(state_b0, scans_b)
+    jax.block_until_ready(state)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        state, diags = run(state_b0, scans_b)
+        jax.block_until_ready(state)
+        times.append(time.time() - t0)
+    multi_sps = n_scans * n_lanes / min(times)
+
+    # single-device baseline measured in-process on one local device
+    state1 = odometry.init_state(cfg)
+    one = jax.tree.map(lambda x: jnp.asarray(x[:, 0]), scans_b_host)
+    run1 = odometry.make_sequence_runner(cfg)
+    s1, d1 = run1(state1, one)
+    jax.block_until_ready(s1)
+    t1 = []
+    for _ in range(reps):
+        t0 = time.time()
+        s1, d1 = run1(state1, one)
+        jax.block_until_ready(s1)
+        t1.append(time.time() - t0)
+    single_sps = n_scans / min(t1)
+
+    # trajectory agreement: every dp lane ran the same sequence
+    from jax.experimental import multihost_utils
+
+    t_lanes = np.asarray(multihost_utils.process_allgather(
+        state.current.t, tiled=True))
+    t_single = np.asarray(s1.current.t)
+    max_dt = float(np.abs(t_lanes - t_single[None]).max())
+
+    report = {
+        "scaling": scaling_report(mesh, multi_sps, single_sps),
+        "compile_s": compile_s,
+        "n_scans": n_scans,
+        "lanes": int(n_lanes),
+        "max_lane_vs_single_dt": max_dt,
+        "final_t": t_single.tolist(),
+    }
+    if out_path and jax.process_index() == 0:
+        with open(out_path, "w") as f:
+            json.dump(report, f)
+    return report

@@ -168,6 +168,285 @@ def solve_schur(H, b, is_separator: jax.Array, damping: float = 1e-6):
     return (dx_s + dx_i).reshape(P, 6)
 
 
+# ---------------------------------------------------------------------------
+# Block-sparse segment Schur: O(P * 6^3) instead of dense O((6P)^3)
+# ---------------------------------------------------------------------------
+
+def build_chain_system(g: PoseGraph, stride: int, axis_name: str | None = None):
+    """Block-sparse normal equations for a chain + separator-aligned
+    closures.
+
+    Returns (diag (P,6,6), off (P,6,6) [off[i] = H[i, i+1], off[P-1] unused],
+    S_extra (n_sep+1, n_sep+1, 6, 6) closure cross-blocks in separator
+    coordinates, b (P,6)). Requires every non-chain edge to join two
+    separator poses (indices divisible by `stride`) — the classic cut-vertex
+    alignment that keeps each interior segment exactly block-tridiagonal.
+    With axis_name set, edges are sharded and all outputs psum-reduced.
+    """
+    P = g.poses.t.shape[0]
+    n_sep = P // stride
+
+    def per_edge(i, j, zt, zq, wr, wt, valid):
+        pi = se3.Pose(g.poses.t[i], g.poses.q[i])
+        pj = se3.Pose(g.poses.t[j], g.poses.q[j])
+        J_i, J_j, r = _edge_system(pi, pj, se3.Pose(zt, zq), wr, wt)
+        m = jnp.where(valid, 1.0, 0.0)
+        return J_i * m, J_j * m, r * m
+
+    J_i, J_j, r = jax.vmap(per_edge)(
+        g.edge_i, g.edge_j, g.edge_z.t, g.edge_z.q,
+        g.edge_w_rot, g.edge_w_t, g.edge_valid,
+    )
+    Hii = jnp.einsum("eab,eac->ebc", J_i, J_i)
+    Hjj = jnp.einsum("eab,eac->ebc", J_j, J_j)
+    Hij = jnp.einsum("eab,eac->ebc", J_i, J_j)
+    bi = jnp.einsum("eab,ea->eb", J_i, r)
+    bj = jnp.einsum("eab,ea->eb", J_j, r)
+
+    diag = jnp.zeros((P, 6, 6), jnp.float32)
+    diag = diag.at[g.edge_i].add(Hii)
+    diag = diag.at[g.edge_j].add(Hjj)
+    b = jnp.zeros((P, 6), jnp.float32)
+    b = b.at[g.edge_i].add(bi)
+    b = b.at[g.edge_j].add(bj)
+
+    is_chain = g.edge_j == g.edge_i + 1
+    off = jnp.zeros((P, 6, 6), jnp.float32)
+    off = off.at[jnp.where(is_chain, g.edge_i, P)].add(Hij, mode="drop")
+
+    # closure cross-blocks land directly in the separator system
+    S_extra = jnp.zeros((n_sep + 1, n_sep + 1, 6, 6), jnp.float32)
+    ci = g.edge_i // stride
+    cj = g.edge_j // stride
+    drop = is_chain | ~g.edge_valid
+    ci = jnp.where(drop, n_sep, ci)  # virtual row absorbs chain edges
+    cj = jnp.where(drop, n_sep, cj)
+    S_extra = S_extra.at[ci, cj].add(Hij, mode="drop")
+    S_extra = S_extra.at[cj, ci].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
+    S_extra = S_extra.at[n_sep, n_sep].set(0.0)
+
+    if axis_name is not None:
+        diag = jax.lax.psum(diag, axis_name)
+        off = jax.lax.psum(off, axis_name)
+        S_extra = jax.lax.psum(S_extra, axis_name)
+        b = jax.lax.psum(b, axis_name)
+    return diag, off, S_extra, b
+
+
+def _tridiag_solve(D, O, RHS):
+    """Block-tridiagonal solve (block Thomas) for one segment.
+
+    D (L,6,6) diagonal blocks, O (L-1,6,6) with O[i] = H[i, i+1],
+    RHS (L,6,K). Returns X (L,6,K) with H X = RHS.
+    """
+    def fwd(carry, inp):
+        G_prev, V_prev = carry
+        D_i, O_prev, O_i, R_i = inp
+        # forward elimination: M_i = D_i - O_{i-1}^T M_{i-1}^-1 O_{i-1}
+        # (O_prev is zero-padded for the first row, so no branch needed)
+        M_i = D_i - jnp.swapaxes(O_prev, 0, 1) @ G_prev
+        W_i = R_i - jnp.swapaxes(O_prev, 0, 1) @ V_prev
+        G_i = jnp.linalg.solve(M_i, O_i)   # for the next row + back-sub
+        V_i = jnp.linalg.solve(M_i, W_i)
+        return (G_i, V_i), (G_i, V_i)
+
+    # pad O on both ends so row i sees (O_{i-1}, O_i); O_{-1} = O_{L-1} = 0
+    O_pad = jnp.concatenate([jnp.zeros((1, 6, 6)), O, jnp.zeros((1, 6, 6))])
+    inputs = (D, O_pad[:-1], O_pad[1:], RHS)
+    _, (G, V) = jax.lax.scan(
+        fwd, (jnp.zeros((6, 6)), jnp.zeros_like(RHS[0])), inputs)
+
+    def back(X_next, inp):
+        G_i, V_i = inp
+        X_i = V_i - G_i @ X_next
+        return X_i, X_i
+
+    _, X = jax.lax.scan(back, jnp.zeros_like(RHS[0]), (G, V), reverse=True)
+    return X
+
+
+def solve_segment_schur(diag, off, S_extra, b, stride: int,
+                        damping: float = 1e-6):
+    """Distributed-pattern Schur solve on the block-sparse chain system.
+
+    Poses are split into separators (every `stride`-th, plus a virtual
+    terminal) and interior segments of uniform length stride-1. Each
+    segment's block-tridiagonal interior is eliminated independently
+    (vmapped block Thomas — the shard/scale axis), producing 2x2 block
+    contributions onto its bounding separators; the small separator system
+    (closures included) is solved densely; interiors back-substitute.
+    Cost O(P * 6^3) + O((P/stride * 6)^3) vs dense O((6P)^3).
+    """
+    P = b.shape[0]
+    n_sep = P // stride
+    L = stride - 1
+
+    dmp = 1.0 + damping
+    diag = diag * jnp.where(
+        (jnp.eye(6, dtype=bool))[None], dmp, 1.0
+    ) + 1e-7 * jnp.eye(6)[None]
+
+    # run k: interiors k*stride+1 .. k*stride+stride-1
+    D_runs = diag.reshape(n_sep, stride, 6, 6)[:, 1:]
+    b_runs = b.reshape(n_sep, stride, 6)[:, 1:]
+    off_r = off.reshape(n_sep, stride, 6, 6)
+    O_runs = off_r[:, 1:-1] if stride > 2 else jnp.zeros((n_sep, 0, 6, 6))
+    A = off_r[:, 0]                      # H[s_k, s_k+1]  (left coupling)
+    # H[s_{k+1}-1, s_{k+1}] — last off of run k; for the last run this is
+    # off[P-1] which is zero (virtual separator)
+    off_pad = jnp.concatenate([off, jnp.zeros((1, 6, 6))])
+    C = off_pad.reshape(-1, 6, 6)[jnp.arange(1, n_sep + 1) * stride - 1]
+
+    # RHS per run: [b_I (1 col) | E_L = A^T at row 0 (6) | E_R = C at row L-1 (6)]
+    E_L = jnp.zeros((n_sep, L, 6, 6)).at[:, 0].set(jnp.swapaxes(A, -1, -2))
+    E_R = jnp.zeros((n_sep, L, 6, 6)).at[:, L - 1].set(C)
+    RHS = jnp.concatenate([b_runs[..., None], E_L, E_R], axis=-1)  # (n,L,6,13)
+
+    X = jax.vmap(_tridiag_solve)(D_runs, O_runs, RHS)  # (n,L,6,13)
+    u_b = X[..., 0]          # (n, L, 6)
+    X_L = X[..., 1:7]        # (n, L, 6, 6)
+    X_R = X[..., 7:13]
+
+    # separator system S (n_sep+1 blocks): S = H_SS - H_SI U H_IS
+    sep_idx = jnp.arange(n_sep) * stride
+    S = jnp.zeros((n_sep + 1, n_sep + 1, 6, 6))
+    S = S.at[jnp.arange(n_sep), jnp.arange(n_sep)].set(diag[sep_idx])
+    S = S.at[n_sep, n_sep].set(jnp.eye(6))
+    S = S + S_extra
+
+    AX_L = jnp.einsum("kab,kbc->kac", A, X_L[:, 0])      # A_k U[0] A_k^T cols
+    AX_R = jnp.einsum("kab,kbc->kac", A, X_R[:, 0])
+    CX_L = jnp.einsum("kba,kbc->kac", C, X_L[:, L - 1])  # C^T U[L-1] ...
+    CX_R = jnp.einsum("kba,kbc->kac", C, X_R[:, L - 1])
+    ks = jnp.arange(n_sep)
+    S = S.at[ks, ks].add(-AX_L)
+    S = S.at[ks, ks + 1].add(-AX_R)
+    S = S.at[ks + 1, ks].add(-CX_L)
+    S = S.at[ks + 1, ks + 1].add(-CX_R)
+
+    rhs_s = jnp.zeros((n_sep + 1, 6))
+    rhs_s = rhs_s.at[jnp.arange(n_sep)].set(b[sep_idx])
+    rhs_s = rhs_s.at[ks].add(-jnp.einsum("kab,kb->ka", A, u_b[:, 0]))
+    rhs_s = rhs_s.at[ks + 1].add(-jnp.einsum("kba,kb->ka", C, u_b[:, L - 1]))
+
+    # gauge prior on separator 0 (pose 0)
+    S = S.at[0, 0].add(1e6 * jnp.eye(6))
+
+    Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape((n_sep + 1) * 6, (n_sep + 1) * 6)
+    Sd = Sd + 1e-7 * jnp.eye((n_sep + 1) * 6)
+    dx_s = jnp.linalg.solve(Sd, -rhs_s.reshape(-1)).reshape(n_sep + 1, 6)
+
+    # back-substitute interiors:
+    # dx_I = -u_b - X_L dx_{s_k} - X_R dx_{s_{k+1}}
+    dx_i = (
+        -u_b
+        - jnp.einsum("klab,kb->kla", X_L, dx_s[:n_sep])
+        - jnp.einsum("klab,kb->kla", X_R, dx_s[1 : n_sep + 1])
+    )
+    dx = jnp.zeros((P, 6))
+    dx = dx.at[sep_idx].set(dx_s[:n_sep])
+    interior_idx = (sep_idx[:, None] + 1 + jnp.arange(L)[None, :]).reshape(-1)
+    dx = dx.at[interior_idx].set(dx_i.reshape(-1, 6))
+    return dx
+
+
+def refine_segment(g: PoseGraph, stride: int = 8, iterations: int = 10,
+                   axis_name: str | None = None) -> PoseGraph:
+    """GN refinement via the block-sparse segment-Schur solver.
+
+    P must be a multiple of `stride`; every loop closure must join two
+    separator poses (index % stride == 0). With axis_name (inside
+    shard_map), edges are sharded and the system psum-assembled.
+    """
+    P = g.poses.t.shape[0]
+    assert P % stride == 0, (P, stride)
+
+    def body(_, graph):
+        diag, off, S_extra, b = build_chain_system(graph, stride, axis_name)
+        dx = solve_segment_schur(diag, off, S_extra, b, stride)
+        new_poses = jax.vmap(se3.apply_delta)(graph.poses, dx)
+        return graph._replace(poses=new_poses)
+
+    return jax.lax.fori_loop(0, iterations, body, g)
+
+
+def make_refine_sharded(mesh, axis: str = "dp", iterations: int = 10,
+                        use_schur: bool = False, separator_stride: int = 4):
+    """Edge-sharded distributed refinement driver.
+
+    Returns run(g) where g's edge arrays are replicated host-side; inside,
+    each device takes a 1/N slice of the edges, builds its partial normal
+    equations, and ONE psum per GN iteration produces the identical global
+    (H, b) on every device (build_normal_equations with axis_name — the
+    distributed pattern BASELINE config 5 asks for). Poses are replicated;
+    the solve (dense or segment-Schur) is redundantly computed per device.
+    Edge count must be padded to a multiple of the axis size (edge_valid
+    masks padding).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+
+    def local(poses_t, poses_q, ei, ej, zt, zq, wr, wt, valid):
+        graph = PoseGraph(
+            poses=se3.Pose(poses_t, poses_q),
+            edge_i=ei, edge_j=ej,
+            edge_z=se3.Pose(zt, zq),
+            edge_w_rot=wr, edge_w_t=wt, edge_valid=valid,
+        )
+        Pn = poses_t.shape[0]
+        is_sep = (jnp.arange(Pn) % separator_stride == 0)
+
+        def body(_, g_):
+            H, b = build_normal_equations(g_, axis_name=axis)
+            if use_schur:
+                dx = solve_schur(H, b, is_sep)
+            else:
+                dx = solve_direct(H, b)
+            new_poses = jax.vmap(se3.apply_delta)(g_.poses, dx)
+            return g_._replace(poses=new_poses)
+
+        out = jax.lax.fori_loop(0, iterations, body, graph)
+        return out.poses.t, out.poses.q
+
+    @jax.jit
+    def run(g: PoseGraph) -> PoseGraph:
+        E = g.edge_i.shape[0]
+        assert E % n == 0, f"pad edges to a multiple of {n} (got {E})"
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        t, q = f(g.poses.t, g.poses.q, g.edge_i, g.edge_j, g.edge_z.t,
+                 g.edge_z.q, g.edge_w_rot, g.edge_w_t, g.edge_valid)
+        return g._replace(poses=se3.Pose(t, q))
+
+    return run
+
+
+def pad_edges(g: PoseGraph, multiple: int) -> PoseGraph:
+    """Pad the edge arrays (masked invalid) to a multiple for even sharding."""
+    E = g.edge_i.shape[0]
+    pad = (-E) % multiple
+    if pad == 0:
+        return g
+    zpad = lambda x, fill=0: jnp.concatenate(
+        [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)])
+    return g._replace(
+        edge_i=zpad(g.edge_i), edge_j=zpad(g.edge_j),
+        edge_z=se3.Pose(
+            zpad(g.edge_z.t),
+            jnp.concatenate([g.edge_z.q,
+                             jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                                      (pad, 1))])),
+        edge_w_rot=zpad(g.edge_w_rot), edge_w_t=zpad(g.edge_w_t),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.zeros(pad, bool)]),
+    )
+
+
 @partial(jax.jit, static_argnames=("iterations", "use_schur", "separator_stride"))
 def refine(g: PoseGraph, iterations: int = 10, use_schur: bool = False,
            separator_stride: int = 4) -> PoseGraph:

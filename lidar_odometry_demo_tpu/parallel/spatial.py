@@ -1,0 +1,242 @@
+"""Spatially-partitioned keyframe map with halo exchange.
+
+The reference's keyframe `VoxelGrid` is one shared-memory hash map
+(src/voxel_grid.h:17-257); its 27-neighborhood correspondence search
+(voxel_grid.h:164-204) reads the 3x3x3 voxels around every query. Scaling
+the map across devices (BASELINE.json north star: "spatial partitioning of
+keyframe map blocks across hosts") therefore needs the boundary reads
+solved. TPU-native design:
+
+**Interleaved column ownership.** Device d of N owns every (x, y) map
+column whose directory x-coordinate satisfies `gx mod N == d`. Each device
+holds only its own columns in a local sorted-key `VoxelMap` of capacity
+C/N — per-device map memory shrinks with the mesh.
+
+**Rebase-stable sharding.** The sorted table's keys are relative to a
+rebasable origin (voxel_map.py); an origin shift by delta changes every
+column's gx by -delta_x, which would re-assign owners. The sharded
+pipeline therefore quantizes the per-scan origin rebase to multiples of N
+(`map_update(origin_quantum=N)`): ownership `gx mod N` is invariant, so
+voxels NEVER migrate between devices — no redistribution collective
+exists because none is needed.
+
+**Halo exchange, once per scan.** A query owned by device d (its center
+column `gx mod N == d`) reads neighbor columns gx-1 and gx+1, owned by
+devices d-1 and d+1 (mod N). The map is frozen for the whole ICP solve
+(reference semantics: correspondences re-search a fixed keyframe,
+cloud_matcher.cpp:138-139), so the halo is exchanged ONCE per scan — two
+`ppermute`s moving each shard's per-scan search structures (column
+directory, z-occupancy descriptors, key-ordered candidate/normal rows) to
+its ring neighbors — and every ICP iteration then runs entirely on-device.
+
+**Composite map view.** The received halo blocks are fused with the local
+shard into a single (3C/N)-row `VoxelMap` + `SearchIndex` whose dense
+column directory selects, per cell, the block that owns that column (slot
+pointers offset into the concatenated rows). Every existing search kernel
+— `find_correspondences_indexed`, `gather_candidates`, `match_candidates`
+— runs verbatim on the view; results are bit-identical to the replicated
+path because each column resolves to exactly the rows its unique owner
+stores, in the same (column scan, z, insertion) order.
+
+The 6x6 normal equations are psum-reduced per GN iteration (ops/icp.py),
+so all devices take identical pose steps; inserts are ownership-masked so
+each world-frame point lands on exactly one device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_odometry_demo_tpu.ops import se3
+from lidar_odometry_demo_tpu.ops import voxel_map as vm
+from lidar_odometry_demo_tpu.ops.voxel_map import (
+    _G,
+    _GHALF,
+    _PTR_EMPTY,
+    SearchIndex,
+    VoxelMap,
+)
+
+
+def column_gx(xyz: jax.Array, origin: jax.Array, voxel_size: float) -> jax.Array:
+    """Directory x-coordinate of each point's map column (voxel_map._G grid)."""
+    ix = vm.voxel_indices(xyz, voxel_size)[..., 0] - origin[0]
+    return ix + _GHALF
+
+
+def owner_mask(xyz: jax.Array, origin: jax.Array, voxel_size: float,
+               axis: str) -> jax.Array:
+    """True where this device owns the point's column (gx mod N == rank).
+
+    Requires the origin's x to be a multiple of N (map_update
+    origin_quantum=N) so the mask is stable across rebases.
+    """
+    n = jax.lax.axis_size(axis)
+    r = jax.lax.axis_index(axis)
+    return (column_gx(xyz, origin, voxel_size) % n) == r
+
+
+class HaloView(NamedTuple):
+    """Composite (local + ring-neighbor halos) map view for the search."""
+
+    m: VoxelMap          # view over concatenated candidate/normal rows
+    index: SearchIndex   # owner-resolved dense directory + concat desc/rows
+
+
+def _nrm64(m: VoxelMap) -> jax.Array:
+    """Key-ordered normal rows, same layout as SearchIndex.rows64 (one
+    C-row gather through the physical indirection per scan)."""
+    C, K = m.capacity, m.max_points
+    width = m.pts.shape[-2] * 3  # K*3
+    pad = -(-(width + 1) // 8) * 8 - width
+    return jnp.concatenate(
+        [m.nrm.reshape(C, width)[m.row], jnp.zeros((C, pad), jnp.float32)],
+        axis=1,
+    )
+
+
+def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
+    """Exchange halos with the ring neighbors and fuse a composite view.
+
+    Two ppermutes per scan move (rows64, nrm64, desc, dense) from ranks
+    r+1 and r-1 to r; the composite dense directory selects per column the
+    unique owning block, with slot pointers offset into the concatenated
+    rows [self, next, prev]. A query whose center column this device owns
+    only ever touches columns owned by ranks {r-1, r, r+1}, so the view is
+    complete for every locally-owned query.
+    """
+    n = jax.lax.axis_size(axis)
+    r = jax.lax.axis_index(axis)
+    S, K = m.capacity, m.max_points
+    nrm_rows = _nrm64(m)
+
+    if n == 1:
+        meta = jnp.zeros((S, 8), jnp.int32).at[:, 2].set(
+            jnp.arange(S, dtype=jnp.int32))
+        view_m = VoxelMap(
+            meta=meta,
+            occ=jnp.ones((S,), bool),
+            pts=index.rows64[:, : K * 3].reshape(S, K, 3),
+            nrm=nrm_rows[:, : K * 3].reshape(S, K, 3),
+            origin=m.origin,
+        )
+        return HaloView(m=view_m, index=index)
+
+    def from_rank(src_offset: int, x):
+        # receive each array from rank (r + src_offset) mod n
+        perm = [(int((i + src_offset) % n), i) for i in range(n)]
+        return jax.lax.ppermute(x, axis, perm)
+
+    blocks = [(index.dense, index.desc, index.rows64, nrm_rows)]
+    for off in (1, n - 1):  # next, prev (same device twice when n == 2)
+        blocks.append(tuple(from_rank(off, x) for x in blocks[0]))
+
+    # composite dense directory: per column, pick the owning block and
+    # offset its slot pointer into the concatenated row space
+    cell_gx = jnp.arange(_G * _G + 1, dtype=jnp.int32) // _G  # overflow->_G
+    owner_rel = (cell_gx % n - r) % n
+    dense_cat = jnp.full((_G * _G + 1,), _PTR_EMPTY, jnp.int32)
+    for b, (dense_b, _, _, _) in enumerate(blocks):
+        sel = owner_rel == (0, 1, n - 1)[b]
+        shifted = jnp.where(dense_b == _PTR_EMPTY, _PTR_EMPTY,
+                            dense_b + np.int32(b) * S)
+        dense_cat = jnp.where(sel, shifted, dense_cat)
+    dense_cat = dense_cat.at[_G * _G].set(_PTR_EMPTY)  # overflow stays empty
+
+    desc_cat = jnp.concatenate([b[1] for b in blocks])
+    rows_cat = jnp.concatenate([b[2] for b in blocks])
+    nrm_cat = jnp.concatenate([b[3] for b in blocks])
+
+    S3 = 3 * S
+    meta = jnp.zeros((S3, 8), jnp.int32).at[:, 2].set(
+        jnp.arange(S3, dtype=jnp.int32))
+    view_m = VoxelMap(
+        meta=meta,
+        occ=jnp.ones((S3,), bool),
+        pts=rows_cat[:, : K * 3].reshape(S3, K, 3),
+        nrm=nrm_cat[:, : K * 3].reshape(S3, K, 3),
+        origin=m.origin,
+    )
+    view_idx = SearchIndex(dense=dense_cat, desc=desc_cat, rows64=rows_cat)
+    return HaloView(m=view_m, index=view_idx)
+
+
+def make_spatial_step(cfg, mesh, axis: str = "sp"):
+    """(state_shards, scan) -> (state_shards, diag): one odometry scan with
+    the keyframe map column-sharded over `axis`.
+
+    state_shards: OdometryState pytree with a leading (N,) shard axis
+    (init_spatial_state); scan: one replicated LidarScan. The diagnostics
+    are identical on every device (poses psum-synchronized), returned
+    unsharded.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from lidar_odometry_demo_tpu.pipeline import odometry
+
+    step = odometry.make_process_scan(cfg, spatial_axis=axis)
+
+    def local(state_b, scan):
+        state = jax.tree.map(lambda x: x[0], state_b)  # my single shard
+        new_state, diag = step(state, scan)
+        return jax.tree.map(lambda x: x[None], new_state), diag
+
+    @jax.jit
+    def run(state_sh, scan):
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P()), out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        return f(state_sh, scan)
+
+    return run
+
+
+def make_spatial_sequence_runner(cfg, mesh, axis: str = "sp"):
+    """lax.scan over a stacked (S, ...) scan sequence of the spatial step."""
+    from jax.sharding import PartitionSpec as P
+
+    from lidar_odometry_demo_tpu.pipeline import odometry
+
+    step = odometry.make_process_scan(cfg, spatial_axis=axis)
+
+    def local(state_b, scans):
+        state = jax.tree.map(lambda x: x[0], state_b)
+
+        def body(s, scan):
+            return step(s, scan)
+
+        final, diags = jax.lax.scan(body, state, scans)
+        return jax.tree.map(lambda x: x[None], final), diags
+
+    @jax.jit
+    def run(state_sh, scans):
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P()), out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        return f(state_sh, scans)
+
+    return run
+
+
+def init_spatial_state(cfg, n_shards: int):
+    """Stacked per-shard odometry states: each device's keyframe shard has
+    capacity map_capacity // n_shards (leading axis = shard)."""
+    from lidar_odometry_demo_tpu.pipeline import odometry
+
+    shard_cap = cfg.map_capacity // n_shards
+    one = odometry.OdometryState(
+        keyframe=vm.map_init(shard_cap, cfg.keyframe_max_points_cnt),
+        current=se3.Pose.identity(),
+        previous=se3.Pose.identity(),
+    )
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_shards, *x.shape)).copy(), one
+    )

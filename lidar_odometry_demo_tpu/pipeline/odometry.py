@@ -62,7 +62,8 @@ def _tree_where(pred, a, b):
 
 
 def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
-                      return_deskewed: bool = False):
+                      return_deskewed: bool = False,
+                      spatial_axis: str | None = None):
     """Build the jittable per-scan step: (state, scan) -> (state, diag).
 
     With `sp_axis` set, the step is meant to run inside a shard_map whose
@@ -74,8 +75,28 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
     reference's only parallelism is a mutexed parallel-for over the same
     loop, voxel_grid.h:217-231). Collectives are kept out of lax.cond:
     the first-scan branch is handled by masking instead.
+
+    With `spatial_axis` set (mutually exclusive with sp_axis), the KEYFRAME
+    MAP itself is spatially partitioned across the mesh axis
+    (parallel/spatial.py): state.keyframe is each device's column shard
+    (capacity map_capacity // N, see spatial.init_spatial_state), the 3x3x3
+    boundary reads are served by a once-per-scan halo exchange, queries and
+    inserts are ownership-masked, rebase is quantized so ownership is
+    stable, and the 6x6 normal equations psum as in sp mode.
     """
-    align_fn = icp.make_align(cfg, axis_name=sp_axis)
+    assert not (sp_axis is not None and spatial_axis is not None), (
+        "sp_axis (query slicing) and spatial_axis (map partitioning) shard "
+        "the same ICP loop differently; pick one per mesh axis")
+    if spatial_axis is not None:
+        from lidar_odometry_demo_tpu.parallel import spatial
+
+        def _owner(m_view, q_world):
+            return spatial.owner_mask(
+                q_world, m_view.origin, cfg.keyframe_voxel_size, spatial_axis)
+
+        align_fn = icp.make_align(cfg, axis_name=spatial_axis, owner_fn=_owner)
+    else:
+        align_fn = icp.make_align(cfg, axis_name=sp_axis)
 
     def process_scan(state: OdometryState, raw: LidarScan):
         # 1. normalize per-point time to [0,1] (lidar_odometry.cpp:25)
@@ -107,12 +128,27 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
             planar, voxel_size=cfg.keyframe_matching_voxel_size, budget=cfg.max_match_points
         )
 
-        initialized = vm.map_size(state.keyframe) > 0
+        local_size = vm.map_size(state.keyframe)
+        if spatial_axis is not None:
+            # collective outside the select below (SPMD validity)
+            initialized = jax.lax.psum(local_size, spatial_axis) > 0
+        else:
+            initialized = local_size > 0
         guess = se3.compose(state.current, relative)
 
         # one search index per scan, shared by the ICP loop and the map
         # update's insert lookup (same frozen map + origin)
         index = vm.build_search_index(state.keyframe)
+
+        if spatial_axis is not None:
+            # halo exchange once per scan (ppermutes — outside lax.cond);
+            # ICP searches the composite local+neighbor view
+            from lidar_odometry_demo_tpu.parallel import spatial
+
+            view = spatial.build_halo_view(state.keyframe, index, spatial_axis)
+            icp_map, icp_index = view.m, view.index
+        else:
+            icp_map, icp_index = state.keyframe, index
 
         # 7. ICP + divergence guard (lidar_odometry.cpp:49-63); first scan
         #    skips straight to map init (lidar_odometry.cpp:40-44)
@@ -127,7 +163,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
                 start = jax.lax.axis_index(sp_axis) * chunk
                 q_xyz = jax.lax.dynamic_slice_in_dim(q_xyz, start, chunk, 0)
                 q_valid = jax.lax.dynamic_slice_in_dim(q_valid, start, chunk, 0)
-            res = align_fn(state.keyframe, q_xyz, q_valid, guess, index)
+            res = align_fn(icp_map, q_xyz, q_valid, guess, icp_index)
             ok = se3.rotation_within_threshold(
                 se3.quat_mul(res.pose.q, se3.quat_conj(state.current.q)),
                 cfg.angular_divergence_threshold,
@@ -144,7 +180,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
                 jnp.asarray(False),
             )
 
-        if sp_axis is None:
+        if sp_axis is None and spatial_axis is None:
             pose, iters, step_norm, n_matches, diverged = jax.lax.cond(
                 initialized, do_icp, skip_icp, None
             )
@@ -163,11 +199,31 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
         #    cleanup part of the fused update is a no-op on an empty map and
         #    pose is identity, so the same code path covers map init.
         upd_world = preprocess.transform_with_normals(update_ds, pose)
-        keyframe = vm.map_update(
-            state.keyframe, upd_world, pose.t,
-            voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range,
-            index=index,
-        )
+        if spatial_axis is not None:
+            # each device inserts only the columns it owns; the ownership
+            # pattern is origin-invariant because map_update quantizes the
+            # rebase to multiples of the shard count
+            from lidar_odometry_demo_tpu.parallel import spatial
+
+            n_shards = jax.lax.axis_size(spatial_axis)
+            own = spatial.owner_mask(
+                upd_world.xyz, state.keyframe.origin,
+                cfg.keyframe_voxel_size, spatial_axis)
+            upd_world = upd_world._replace(valid=upd_world.valid & own)
+            keyframe = vm.map_update(
+                state.keyframe, upd_world, pose.t,
+                voxel_size=cfg.keyframe_voxel_size,
+                radius=cfg.keyframe_cleanup_range,
+                index=index, origin_quantum=n_shards,
+            )
+            map_voxels = jax.lax.psum(vm.map_size(keyframe), spatial_axis)
+        else:
+            keyframe = vm.map_update(
+                state.keyframe, upd_world, pose.t,
+                voxel_size=cfg.keyframe_voxel_size, radius=cfg.keyframe_cleanup_range,
+                index=index,
+            )
+            map_voxels = vm.map_size(keyframe)
 
         new_state = OdometryState(keyframe=keyframe, current=pose, previous=previous)
         diag = StepDiagnostics(
@@ -177,7 +233,7 @@ def make_process_scan(cfg: OdometryConfig, sp_axis: str | None = None,
             num_matches=n_matches,
             diverged=diverged,
             num_planar=num_planar,
-            map_voxels=vm.map_size(keyframe),
+            map_voxels=map_voxels,
             deskewed_xyz=deskewed.xyz if return_deskewed else None,
         )
         return new_state, diag

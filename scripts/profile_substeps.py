@@ -86,7 +86,7 @@ def bench(name, fn, *args, iters=N):
 
 print(f"B={B or 1}", file=sys.stderr)
 
-bench("build_search_index", lambda mm: vm.build_search_index(mm).dir_rows, m)
+bench("build_search_index", lambda mm: vm.build_search_index(mm).rows64, m)
 bench("rows64 build only",
       lambda pts, row, cnt: pts.reshape(cfg.map_capacity, -1)[row], m.pts, m.row, m.count)
 bench("gather_candidates",

@@ -137,6 +137,38 @@ def test_scan_runner_matches_python_loop(drive):
     )
 
 
+def test_flagship_accuracy_w1800():
+    """Accuracy gate at the flagship operating point: the exact bench.py
+    configuration (full VLP16 resolution W=1800, default budgets, 40 scans,
+    seed 42 drive at 5 m/s). BENCH_r02 measured 0.020 m aligned ATE here;
+    this regression gate holds the envelope at <= 0.05 m so bench-level
+    accuracy cannot silently rot (VERDICT round-2 weak #3)."""
+    cfg = OdometryConfig()  # the bench config: full-size defaults
+    drive = simulate_sequence(num_scans=40, width=cfg.scan_width, seed=42,
+                              speed=5.0, yaw_rate=0.08)
+    scans = [
+        scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                        cfg.max_raw_points)
+        for s in drive.scans
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    run = odometry.make_sequence_runner(cfg)
+    state, diags = run(odometry.init_state(cfg), stacked)
+    est = np.asarray(diags.pose.t)
+
+    from scipy.spatial.transform import Rotation
+
+    g0_R = Rotation.from_quat(
+        [drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]]
+    )
+    gt_rel = g0_R.inv().apply(drive.gt_t - drive.gt_t[0])
+    ate = ate_rmse(est, gt_rel, align=True)
+    assert ate < 0.05, ate
+    # the map must have really populated and matched at full resolution
+    assert int(diags.map_voxels[-1]) > 50000
+    assert int(diags.num_matches[-1]) > 3000
+
+
 def test_map_eviction_bounds_memory():
     """Radius eviction must bound the map as the sensor moves on.
 

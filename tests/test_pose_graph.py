@@ -80,6 +80,68 @@ def test_perfect_odometry_is_fixed_point():
     np.testing.assert_allclose(np.asarray(refined.poses.t), gt_t, atol=1e-3)
 
 
+def _closure(gt_t, gt_q, i, j):
+    a = se3.Pose(jnp.asarray(gt_t[i], jnp.float32), jnp.asarray(gt_q[i], jnp.float32))
+    b = se3.Pose(jnp.asarray(gt_t[j], jnp.float32), jnp.asarray(gt_q[j], jnp.float32))
+    return se3.relative_to(a, b)
+
+
+def test_segment_schur_matches_direct():
+    """Block-sparse segment elimination == dense direct solve on a chain
+    with separator-aligned closures (stride 8; closures at 0/8/16/24)."""
+    gt_t, gt_q, est_t, est_q, _ = _make_noisy_loop(P_n=32)
+    closures = [
+        (24, 0, _closure(gt_t, gt_q, 24, 0), 1.0),
+        (16, 8, _closure(gt_t, gt_q, 16, 8), 1.0),
+    ]
+    g = pg.chain_from_odometry(est_t, est_q, closures=closures)
+
+    H, b = pg.build_normal_equations(g)
+    dx_direct = np.asarray(pg.solve_direct(H, b, damping=0.0))
+
+    diag, off, S_extra, bb = pg.build_chain_system(g, stride=8)
+    np.testing.assert_allclose(np.asarray(bb), np.asarray(b), atol=1e-5)
+    dx_seg = np.asarray(pg.solve_segment_schur(diag, off, S_extra, bb,
+                                               stride=8, damping=0.0))
+    scale = np.abs(dx_direct).max()
+    np.testing.assert_allclose(dx_seg, dx_direct, atol=5e-3 * scale)
+
+
+def test_refine_segment_scales_past_64_poses():
+    """The segment solver handles P=256 (dense (6P)^3 would be 3.6e9 flops
+    per iteration and O(P^2) memory for H alone) and converges: the
+    loop-closed refinement cuts the accumulated drift."""
+    P_n, stride = 256, 8
+    gt_t, gt_q, est_t, est_q, _ = _make_noisy_loop(P_n=P_n, drift=0.02)
+    closures = [(248, 0, _closure(gt_t, gt_q, 248, 0), 1.0),
+                (128, 0, _closure(gt_t, gt_q, 128, 0), 1.0)]
+    g = pg.chain_from_odometry(est_t, est_q, closures=closures)
+
+    before = np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, -1)))
+    refined = jax.jit(
+        lambda gg: pg.refine_segment(gg, stride=stride, iterations=10)
+    )(g)
+    after_t = np.asarray(refined.poses.t)
+    after = np.sqrt(np.mean(np.sum((after_t - gt_t) ** 2, -1)))
+    assert after < 0.5 * before, (before, after)
+    np.testing.assert_allclose(after_t[0], est_t[0], atol=1e-3)
+
+
+def test_refine_sharded_matches_single_device():
+    """The shard_map edge-sharded refinement driver produces the same
+    refined trajectory as the single-device refine."""
+    gt_t, gt_q, est_t, est_q, z_loop = _make_noisy_loop(P_n=32)
+    g = pg.chain_from_odometry(est_t, est_q, closures=[(31, 0, z_loop, 1.0)])
+    g8 = pg.pad_edges(g, 8)
+
+    mesh = mesh_lib.make_mesh(dp=8, sp=1)
+    run = pg.make_refine_sharded(mesh, axis="dp", iterations=5)
+    refined_sh = run(g8)
+    refined = pg.refine(g, iterations=5)
+    np.testing.assert_allclose(
+        np.asarray(refined_sh.poses.t), np.asarray(refined.poses.t), atol=2e-3)
+
+
 def test_edge_sharded_normal_equations_match():
     """Edges sharded over 8 devices + psum == single-device assembly."""
     gt_t, gt_q, est_t, est_q, z_loop = _make_noisy_loop(P_n=33)  # 32 edges + closure
