@@ -166,12 +166,14 @@ def simulate_sequence(
         p_cols = np.stack([pose_at(tc)[0] for tc in col_time])  # (W, 3)
 
         xyz_rows, ring_rows, time_rows, inten_rows = [], [], [], []
+        range_image = np.full((16, width), np.inf, np.float64)
         for ring in range(16):
             d_local = dir_ring[ring]  # (W, 3)
             d_world = r_cols.apply(d_local)
             ranges = _ray_hits(p_cols, d_world, world, max_range)
             hit = np.isfinite(ranges)
             ranges = ranges + rng.normal(0, range_noise, width)
+            range_image[ring, hit] = ranges[hit]
             # point measured in the *sensor frame at its column time*
             pts_local = d_local * ranges[:, None]
             xyz_rows.append(pts_local[hit])
@@ -192,6 +194,8 @@ def simulate_sequence(
                 intensity=np.concatenate(inten_rows),
                 ring=np.concatenate(ring_rows),
                 time=np.concatenate(time_rows).astype(np.float32),
+                range_image=range_image,  # (16, W), inf = no return
+                scan_start=t0,
             )
         )
         q = r_end.as_quat()  # xyzw
@@ -201,6 +205,66 @@ def simulate_sequence(
     stream.gt_t = np.asarray(gt_t)
     stream.gt_q = np.asarray(gt_q)
     return stream
+
+
+def encode_vlp16_packets(range_image: np.ndarray, scan_start: float,
+                         intensity: int = 10) -> bytes:
+    """Encode one scan's (16, W) range image as raw VLP16 data packets.
+
+    Produces the wire format the reference consumes via the ROS velodyne
+    driver (and that native/lidar_native.cpp:232-292 decodes): 1206-byte
+    packets of 12 blocks x (0xFFEE, azimuth centideg, 32 x <range_2mm u16,
+    intensity u8>) + a microsecond timestamp + factory bytes. Each block
+    carries two firing sequences = two azimuth columns; channels are the
+    interleaved Velodyne order (ring 0 = -15 deg = channel 0, ring 1 =
+    channel 8, ...).
+
+    Azimuth convention: the decoder maps azimuth az to x = r sin(az),
+    y = r cos(az) (Velodyne +Y forward); the simulator's column c covers
+    the sensor-frame angle atan2(-y, x) = az_c, so az = az_c + 90 deg.
+    """
+    import struct
+
+    n_rings, width = range_image.shape
+    assert n_rings == 16
+    # channel of each ring (rings sorted by elevation; channels interleaved:
+    # even = lower fan ring ch/2, odd = upper fan ring 8+(ch-1)/2)
+    ch_of_ring = np.empty(16, np.int32)
+    for ch in range(16):
+        ring = ch // 2 if ch % 2 == 0 else 8 + (ch - 1) // 2
+        ch_of_ring[ring] = ch
+
+    az_c = (np.arange(width) + 0.5) * (360.0 / width)  # simulator column angle
+    az_deg = (az_c + 90.0) % 360.0
+    cols = []
+    for c in range(width):
+        rec = np.zeros((16, 2), np.int32)  # (channel,) -> [range_2mm, inten]
+        for ring in range(16):
+            r = range_image[ring, c]
+            if np.isfinite(r) and r > 0:
+                rec[ch_of_ring[ring], 0] = int(round(r / 0.002))
+                rec[ch_of_ring[ring], 1] = intensity
+        cols.append(rec)
+
+    kSeqUs = 55.296e-6
+    out = b""
+    n_pkts = -(-width // 24)
+    for p in range(n_pkts):
+        pkt = b""
+        t_pkt = scan_start + p * 24 * kSeqUs
+        for b in range(12):
+            c0 = p * 24 + b * 2
+            az = az_deg[min(c0, width - 1)]
+            pkt += struct.pack("<BBH", 0xFF, 0xEE, int(round(az * 100)) % 36000)
+            for seq in range(2):
+                c = c0 + seq
+                rec = cols[c] if c < width else np.zeros((16, 2), np.int32)
+                for ch in range(16):
+                    pkt += struct.pack("<HB", int(rec[ch, 0]), int(rec[ch, 1]))
+        pkt += struct.pack("<I", int(round(t_pkt * 1e6))) + b"\x37\x22"
+        assert len(pkt) == 1206
+        out += pkt
+    return out
 
 
 def sample_structured_cloud(

@@ -1,27 +1,41 @@
-"""Sorted-key voxel map: the TPU-native replacement for the reference's
-hash-voxel grid.
+"""Sorted fused-row voxel table: the TPU-native replacement for the
+reference's hash-voxel grid.
 
 The reference's `VoxelGrid` (src/voxel_grid.h:17-257) is a robin_map from
 int64 voxel indices to capped point lists, serving triple duty as
 downsampler, keyframe map, and NN-search index. Pointer-chasing hash tables
-don't map to TPUs; this module re-designs the structure as fixed-capacity
-sorted arrays:
+don't map to TPUs; this module re-designs the structure as ONE fixed-
+capacity int32 table sorted by a packed voxel key:
 
 - voxel coords quantized by truncation toward zero — reproducing the
   reference's `(int64)(x / voxel_size)` quirk where the 8 voxels around the
   origin merge (voxel_grid.h:68-75),
 - coords packed into a single int32 key (11/11/9 bits for x/y/z) relative
   to a rebasable integer origin; the radius-evicted map (80 m) always fits,
-- the table is kept sorted by key: lookup is a vectorized binary search
-  (O(log C) gathers), insertion is scatter + one XLA sort, eviction is a
-  mask + re-sort. Sorting beats hashing on TPU: no collisions, no probing,
-  deterministic first-come-kept semantics via stable sort.
+- EVERYTHING about a voxel lives in one 136-lane row of a single (C, W)
+  int32 array `tab` — stored points (f32 bitcast), a float copy of the
+  count for the search rows, normals, then key/count/anchor. One array =
+  one layout: per-scan maintenance is ONE elementwise rebuild pass, a
+  handful of small flat element scatters for the incoming points, ONE
+  (C+N_in) key sort, and ONE C-row gather that merge-permutes the table
+  back into key order. (Round-2's physical-row indirection was measured
+  pathological at batch 8: scatters into a 4-D (B,C,K,3) payload lowered
+  to full-array copies, layout transposes, and serialized while-loops —
+  ~8 ms/lane-scan of payload rewriting in the xplane trace.)
+- the candidate rows the 27-neighborhood search gathers are a pure SLICE
+  of `tab` (no per-scan gather), pre-concatenated into z-triple rows so
+  each query column costs ONE gather row instead of three (gathers on
+  this TPU are row-count bound at ~85M rows/s batched; the 3x-wider row
+  is free — measured 2.6 -> 1.2 ms/lane at batch 8).
 
 Per-voxel semantics match the reference: capacity-capped point lists that
 keep the first `max_points` arrivals and drop overflow (voxel_grid.h:77-93),
 the first stored point acting as the eviction anchor (voxel_with_planes.h:32),
 and 27-neighborhood brute-force nearest-point search under a distance gate
 returning the stored normal as the matching plane (voxel_grid.h:164-204).
+One deliberate deviation: when live voxels would exceed capacity, the
+table keeps the C smallest keys (the reference's robin_map grows without
+bound); size capacity above the radius-evicted worst case.
 """
 
 from __future__ import annotations
@@ -52,77 +66,81 @@ _XOFF, _YOFF, _ZOFF = 1 << (_XB - 1), 1 << (_YB - 1), 1 << (_ZB - 1)
 EMPTY_KEY = np.int32(0x7FFFFFFF)
 
 
+def _align8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _lanes(K: int):
+    """Lane layout of one table row for max_points = K.
+
+    [0 : 3K)            stored points, f32 bitcast (row-major (K, 3))
+    [3K]                float copy of the count (search rows carry it)
+    [RW : RW + 3K)      stored normals, f32 bitcast;  RW = align8(3K + 1)
+    [MB + 0]            packed voxel key (int32)      MB = align8(RW + 3K)
+    [MB + 1]            count (int32)
+    [MB + 2 : MB + 5)   anchor = first stored point, f32 bitcast
+    width W = align8(MB + 5)
+    """
+    RW = _align8(3 * K + 1)
+    MB = _align8(RW + 3 * K)
+    W = _align8(MB + 5)
+    return RW, MB, W
+
+
 class VoxelMap(NamedTuple):
-    """Fixed-capacity voxel table: sorted key index over fixed physical rows.
+    """Fixed-capacity voxel table, rows sorted by packed key.
 
-    The logical index is sorted by packed key and permuted on every insert;
-    the point payload (pts / nrm) lives in immutable PHYSICAL rows addressed
-    through the row pointer, so the per-scan table sort never touches the
-    2x(K,3) payload (~480 B/voxel). The index itself is packed into ONE
-    (C, 8)-int32 `meta` array — key, count, physical row, bitcast anchor —
-    because gathers on this TPU are row-COUNT bound (~160M rows/s whatever
-    the row width; scripts/micro_batched.py): permuting one 8-lane array
-    costs the same as permuting a single (C,) column, 4x less than
-    permuting the four columns separately.
-
-    meta: (C, 8) int32, rows sorted by meta[:, 0] (EMPTY_KEY-padded):
-      [:, 0] packed voxel key, ascending
-      [:, 1] points stored in the voxel
-      [:, 2] physical row holding the voxel's points
-      [:, 3:6] first stored point, float32 bitcast (eviction anchor +
-               sparse export, reference voxel_with_planes.h:32-35)
-      [:, 6:8] padding (sublane alignment)
-    Physical order (never permuted):
-      occ:  (C,)      bool physical row in use
-      pts:  (C, K, 3) float32 stored points (world frame)
-      nrm:  (C, K, 3) float32 stored unit normals
-    origin: (3,)      int32 integer-index origin the keys are relative to
+    tab:    (C, W) int32 fused rows (see _lanes); EMPTY_KEY rows pad the
+            tail. Sorted order is maintained by construction: rebase is a
+            uniform key shift (order-preserving) and insertion ends with a
+            merge gather by the sorted order of (old keys ++ fresh keys).
+    origin: (3,) int32 integer-index origin the keys are relative to.
+    kdim:   (0, K) int32 zero-byte marker carrying max_points statically
+            (the lane layout is not invertible from W alone).
     """
 
-    meta: jax.Array
-    occ: jax.Array
-    pts: jax.Array
-    nrm: jax.Array
+    tab: jax.Array
     origin: jax.Array
-
-    @property
-    def keys(self) -> jax.Array:
-        return self.meta[..., 0]
-
-    @property
-    def count(self) -> jax.Array:
-        return self.meta[..., 1]
-
-    @property
-    def row(self) -> jax.Array:
-        return self.meta[..., 2]
-
-    @property
-    def anchor(self) -> jax.Array:
-        return jax.lax.bitcast_convert_type(self.meta[..., 3:6], jnp.float32)
-
-    @property
-    def capacity(self) -> int:
-        return self.meta.shape[-2]
+    kdim: jax.Array
 
     @property
     def max_points(self) -> int:
-        return self.pts.shape[-2]
+        return self.kdim.shape[-1]
 
+    @property
+    def capacity(self) -> int:
+        return self.tab.shape[-2]
 
-def _pack_meta(keys: jax.Array, count: jax.Array, row: jax.Array,
-               anchor: jax.Array) -> jax.Array:
-    """Assemble the (C, 8) meta rows from the narrow working columns."""
-    c = keys.shape[0]
-    pad = jnp.zeros((c, 2), jnp.int32)
-    return jnp.concatenate(
-        [
-            keys[:, None], count[:, None], row[:, None],
-            jax.lax.bitcast_convert_type(anchor, jnp.int32),
-            pad,
-        ],
-        axis=1,
-    )
+    @property
+    def keys(self) -> jax.Array:
+        _, MB, _ = _lanes(self.max_points)
+        return self.tab[..., MB]
+
+    @property
+    def count(self) -> jax.Array:
+        _, MB, _ = _lanes(self.max_points)
+        return self.tab[..., MB + 1]
+
+    @property
+    def anchor(self) -> jax.Array:
+        _, MB, _ = _lanes(self.max_points)
+        return jax.lax.bitcast_convert_type(
+            self.tab[..., MB + 2 : MB + 5], jnp.float32)
+
+    @property
+    def pts(self) -> jax.Array:
+        K = self.max_points
+        return jax.lax.bitcast_convert_type(
+            self.tab[..., : 3 * K], jnp.float32
+        ).reshape(*self.tab.shape[:-1], K, 3)
+
+    @property
+    def nrm(self) -> jax.Array:
+        K = self.max_points
+        RW, _, _ = _lanes(K)
+        return jax.lax.bitcast_convert_type(
+            self.tab[..., RW : RW + 3 * K], jnp.float32
+        ).reshape(*self.tab.shape[:-1], K, 3)
 
 
 class Correspondence(NamedTuple):
@@ -150,14 +168,13 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array,
     the column directory can see (see build_search_index): z to the
     +-_DIR_ZHALF window and x/y to the +-_GHALF column window. Used for
     every KEYFRAME table insert so the table never holds a key the
-    directory misses — this is what makes the index-accelerated insert in
-    _insert_impl safe (a directory miss is then always a true miss; an
-    out-of-window point can never alias an in-table key and insert a
-    duplicate). At the 0.2 m keyframe voxel the windows are +-25.6 m
-    vertical (beyond VLP16 reach: +-15 deg at 80 m = +-20.7 m) and
-    +-102.4 m horizontal (beyond the 80 m radius eviction + rebase).
-    Scan-local downsample grids keep the full 11/11/9-bit range (needed
-    at 0.1 m).
+    directory misses — this is what makes the index-accelerated insert
+    safe (a directory miss is then always a true miss; an out-of-window
+    point can never alias an in-table key and insert a duplicate). At the
+    0.2 m keyframe voxel the windows are +-25.6 m vertical (beyond VLP16
+    reach: +-15 deg at 80 m = +-20.7 m) and +-102.4 m horizontal (beyond
+    the 80 m radius eviction + rebase). Scan-local downsample grids keep
+    the full 11/11/9-bit range (needed at 0.1 m).
     """
     rel = idx - origin
     rx = rel[..., 0] + _XOFF
@@ -190,13 +207,12 @@ def _shift_key(delta: jax.Array) -> jax.Array:
 
 
 def map_init(capacity: int, max_points: int) -> VoxelMap:
-    meta = jnp.zeros((capacity, 8), jnp.int32).at[:, 0].set(EMPTY_KEY)
+    _, MB, W = _lanes(max_points)
+    tab = jnp.zeros((capacity, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
     return VoxelMap(
-        meta=meta,
-        occ=jnp.zeros((capacity,), bool),
-        pts=jnp.zeros((capacity, max_points, 3), jnp.float32),
-        nrm=jnp.zeros((capacity, max_points, 3), jnp.float32),
+        tab=tab,
         origin=jnp.zeros((3,), jnp.int32),
+        kdim=jnp.zeros((0, max_points), jnp.int32),
     )
 
 
@@ -267,262 +283,7 @@ def downsample(pts: PointsWithNormals, voxel_size: float, budget: int) -> Points
 
 
 # ---------------------------------------------------------------------------
-# keyframe map insert (reference addCloud, voxel_grid.h:77-93)
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("voxel_size",))
-def map_insert(m: VoxelMap, new: PointsWithNormals, *, voxel_size: float) -> VoxelMap:
-    """Insert points (world frame) with first-come-kept capping semantics.
-
-    New points join existing voxels only while `count < max_points`
-    (drop overflow, voxel_grid.h:88-91); new voxels are appended into free
-    slots and the table re-sorted. Deterministic: incoming points are
-    processed in input order within each voxel (stable sort), voxels in key
-    order.
-    """
-    return _insert_impl(m, new, m.keys, m.count, m.origin, voxel_size)
-
-
-def _directory_lookup(
-    m: VoxelMap, index: SearchIndex, sxyz: jax.Array, valid_e: jax.Array,
-    voxel_size: float,
-):
-    """(pos, found) of each point's voxel in the sorted table via the column
-    directory — replaces jnp.searchsorted, whose XLA lowering (a 17-round
-    elementwise-gather while loop) costs ~10 ms/scan on this TPU where the
-    directory row-gather + popcount rank-select costs ~0.3 ms.
-
-    Coordinates are taken relative to m.origin (the directory's frame); the
-    caller may store keys relative to a different (rebased) origin — a
-    uniform key shift preserves sorted order, so positions agree.
-    """
-    C = m.capacity
-    idx = voxel_indices(sxyz, voxel_size) - m.origin
-    gx = idx[..., 0] + _GHALF
-    gy = idx[..., 1] + _GHALF
-    z = idx[..., 2] + _DIR_ZHALF
-    in_win = (
-        valid_e & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
-        & (z >= 0) & (z < 2 * _DIR_ZHALF)
-    )
-    cell = jnp.where(in_win, gx * _G + gy, _G * _G)
-    start = index.dense[cell]                # (N,) leader slot or EMPTY
-    got = start != _PTR_EMPTY
-    start_c = jnp.where(got, start, 0)
-    zmask = index.desc[start_c]              # (N, ZWORDS)
-    zmask = jnp.where(got[..., None], zmask, 0)
-    zc = jnp.clip(z, 0, 2 * _DIR_ZHALF - 1)
-    pos = start_c + _popcount_below(zmask, zc)
-    found = in_win & got & _zbit(zmask, zc)
-    pos = jnp.where(found, jnp.minimum(pos, C - 1), C - 1)
-    return pos, found
-
-
-def _insert_impl(
-    m: VoxelMap,
-    new: PointsWithNormals,
-    keys1: jax.Array,
-    count1: jax.Array,
-    new_origin: jax.Array,
-    voxel_size: float,
-    index: SearchIndex | None = None,
-) -> VoxelMap:
-    """Shared insert body: add `new` against the (possibly tombstoned)
-    logical index (keys1, count1), writing payloads into physical rows and
-    re-sorting only the small key-order arrays.
-
-    Tombstones (key present, count 0 after eviction) are re-populated in
-    place — their physical row is reused and their anchor reset to the
-    first incoming point, matching the reference's erase-then-reinsert
-    (voxel_grid.h:236-246 + 77-93). Unreused tombstones are dropped at the
-    end and their physical rows freed.
-    """
-    C, K = m.capacity, m.max_points
-    keys = pack_keys(voxel_indices(new.xyz, voxel_size), new_origin, new.valid,
-                     map_window=True)
-
-    order = jnp.argsort(keys, stable=True)
-    skeys = keys[order]
-    sxyz = new.xyz[order]
-    snrm = new.normal[order]
-    leader, rank, start = _group_structure(skeys)
-    valid_e = skeys != EMPTY_KEY
-
-    # lookup each (distinct) key in the existing table. With a prebuilt
-    # directory (same map, origin m.origin) the lookup is one small row
-    # gather + popcounts; the searchsorted fallback covers standalone use.
-    if index is not None:
-        pos_c, found = _directory_lookup(m, index, sxyz, valid_e, voxel_size)
-        found = found & (keys1[pos_c] == skeys)  # belt & braces (cheap)
-    else:
-        pos = jnp.searchsorted(keys1, skeys).astype(jnp.int32)
-        pos_c = jnp.minimum(pos, C - 1)
-        found = valid_e & (keys1[pos_c] == skeys)
-
-    # fresh key-slot assignment for missing groups
-    n_used = jnp.sum((keys1 != EMPTY_KEY).astype(jnp.int32))
-    missing_leader = leader & ~found
-    fresh_idx = jnp.cumsum(missing_leader.astype(jnp.int32)) - 1
-    fresh_slot = n_used + fresh_idx  # only meaningful at missing leaders
-
-    # fresh PHYSICAL rows for missing groups: compact the free rows to the
-    # front (stable bool argsort: free rows in ascending physical order —
-    # deterministic)
-    free_rows = jnp.argsort(m.occ, stable=True).astype(jnp.int32)
-    fresh_phys = free_rows[jnp.minimum(fresh_idx, C - 1)]
-
-    # per-element key slot, physical row & base write index, broadcast
-    # from the group leader
-    slot = jnp.where(found, pos_c, fresh_slot)[start]
-    phys = jnp.where(found, m.row[pos_c], fresh_phys)[start]
-    base = jnp.where(found, count1[pos_c], 0)[start]
-    write_idx = base + rank
-
-    keep = valid_e & (write_idx < K) & (slot < C) & (slot >= 0)
-    phys_w = jnp.where(keep, phys, C)  # out-of-range -> dropped
-    widx_w = jnp.where(keep, write_idx, 0)
-    pts2 = m.pts.at[phys_w, widx_w].set(sxyz, mode="drop")
-    nrm2 = m.nrm.at[phys_w, widx_w].set(snrm, mode="drop")
-
-    # counts: one scatter per leader with the clamped new count.
-    # Group end = next key-change position (including the change into the
-    # EMPTY-padded tail, which is not a leader but is a boundary).
-    n = len(keep)
-    prev_key = jnp.concatenate([jnp.array([EMPTY_KEY], skeys.dtype), skeys[:-1]])
-    boundary = jnp.concatenate([jnp.array([True]), (skeys != prev_key)[1:]])
-    nxt = jax.lax.associative_scan(
-        jnp.minimum,
-        jnp.where(boundary, jnp.arange(n, dtype=jnp.int32), n),
-        reverse=True,
-    )
-    # nxt[i] = nearest boundary at-or-after i; strict next boundary for a
-    # leader at p is nxt[p+1] (or N at the end)
-    nxt_strict = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
-    group_size = jnp.where(leader, nxt_strict - jnp.arange(n, dtype=jnp.int32), 0)
-    new_count = jnp.minimum(K, base + group_size)
-    slot_ok = leader & (slot < C) & (slot >= 0)
-    cnt_slot = jnp.where(slot_ok, slot, C)
-    count2 = count1.at[cnt_slot].set(jnp.where(leader, new_count, 0), mode="drop")
-
-    # register fresh keys + their physical rows; set anchors wherever a
-    # voxel receives its FIRST point (fresh voxel or reused tombstone)
-    key_slot = jnp.where(missing_leader & (slot < C), slot, C)
-    keys2 = keys1.at[key_slot].set(skeys, mode="drop")
-    row2 = m.row.at[key_slot].set(phys, mode="drop")
-    anchor_slot = jnp.where(slot_ok & (base == 0), slot, C)
-    anchor2 = m.anchor.at[anchor_slot].set(sxyz, mode="drop")
-    occ2 = m.occ.at[jnp.where(missing_leader & (slot < C), phys, C)].set(
-        True, mode="drop"
-    )
-
-    # drop unreused tombstones (count still 0) and free their rows
-    tomb = (keys2 != EMPTY_KEY) & (count2 == 0)
-    keys2 = jnp.where(tomb, EMPTY_KEY, keys2)
-    occ2 = occ2.at[jnp.where(tomb, row2, C)].set(False, mode="drop")
-
-    # re-sort the logical index by key: ONE packed-row permute
-    meta2 = _pack_meta(keys2, count2, row2, anchor2)
-    perm = jnp.argsort(keys2)
-    return VoxelMap(
-        meta=meta2[perm],
-        occ=occ2,
-        pts=pts2,
-        nrm=nrm2,
-        origin=new_origin,
-    )
-
-
-# ---------------------------------------------------------------------------
-# radius eviction + origin rebase (reference radiusCleanup, voxel_grid.h:236-246)
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("radius", "voxel_size"))
-def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float, voxel_size: float) -> VoxelMap:
-    """Erase voxels whose *first stored point* is farther than `radius` from
-    `center` (the reference anchors eviction on VoxelWithPlanes::getOrigin,
-    voxel_with_planes.h:32-35), then re-base the key origin to the current
-    center so the coordinate window tracks the sensor.
-    """
-    d2 = jnp.sum((m.anchor - center) ** 2, axis=-1)
-    occupied = m.keys != EMPTY_KEY
-
-    # rebase: shift all valid keys by the origin delta (order-preserving)
-    new_origin = voxel_indices(center, voxel_size)
-    shift = _shift_key(new_origin - m.origin)
-    shifted = m.keys - shift
-    # evict beyond the radius, and the (VLP16-unreachable) voxels whose
-    # rebased z leaves the directory window — keeps the directory covering
-    # the whole table (see pack_keys map_window)
-    rz = shifted & ((1 << _ZB) - 1)
-    in_zwin = (rz >= _DIR_ZLO) & (rz < _DIR_ZLO + 2 * _DIR_ZHALF)
-    keep = occupied & (d2 <= radius * radius) & in_zwin
-    keys = jnp.where(keep, shifted, EMPTY_KEY)
-    count = jnp.where(keep, m.count, 0)
-    occ = m.occ.at[jnp.where(occupied & ~keep, m.row, m.capacity)].set(
-        False, mode="drop"
-    )
-
-    meta = _pack_meta(keys, count, m.row, m.anchor)
-    perm = jnp.argsort(keys)
-    return VoxelMap(
-        meta=meta[perm],
-        occ=occ,
-        pts=m.pts,
-        nrm=m.nrm,
-        origin=new_origin,
-    )
-
-
-# ---------------------------------------------------------------------------
-# fused per-scan maintenance: evict + rebase + insert with ONE table sort
-# ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("voxel_size", "radius", "origin_quantum"))
-def map_update(
-    m: VoxelMap, new: PointsWithNormals, center: jax.Array,
-    *, voxel_size: float, radius: float, index: SearchIndex | None = None,
-    origin_quantum: int = 1,
-) -> VoxelMap:
-    """radius_cleanup followed by map_insert, fused to a single sort pass.
-
-    Semantically identical to the reference's per-scan sequence
-    (lidar_odometry.cpp:67-70: radiusCleanup then addCloud) but instead of
-    two sort+permute passes over the table it tombstones evicted voxels
-    (key kept, count zeroed — a uniform key shift preserves sortedness, so
-    lookups during insertion still work), inserts, then drops unreused
-    tombstones and sorts once.
-
-    origin_quantum > 1 snaps the rebased origin's x/y down to a multiple of
-    the quantum (floor division — deterministic). Used by the spatially
-    sharded map (parallel/spatial.py): column ownership `gx mod N` is
-    invariant under origin shifts that are multiples of N, so shard
-    ownership never changes across rebases and voxels never migrate
-    between devices. The origin is then at most quantum-1 voxels from the
-    sensor — negligible against the +-512-voxel key window.
-    """
-    # rebase + tombstone eviction (keys stay sorted: uniform shift). The
-    # tombstoned voxel keeps its key and physical row so a same-scan
-    # re-insert can reuse both; _insert_impl drops unreused tombstones and
-    # frees their rows at the end.
-    new_origin = voxel_indices(center, voxel_size)
-    if origin_quantum > 1:
-        q = np.int32(origin_quantum)
-        new_origin = new_origin.at[:2].set((new_origin[:2] // q) * q)
-    shift = _shift_key(new_origin - m.origin)
-    occupied = m.keys != EMPTY_KEY
-    keys1 = jnp.where(occupied, m.keys - shift, EMPTY_KEY)
-    d2 = jnp.sum((m.anchor - center) ** 2, axis=-1)
-    rz1 = keys1 & ((1 << _ZB) - 1)
-    out_zwin = (rz1 < _DIR_ZLO) | (rz1 >= _DIR_ZLO + 2 * _DIR_ZHALF)
-    evict = occupied & ((d2 > radius * radius) | out_zwin)
-    count1 = jnp.where(evict, 0, m.count)
-
-    return _insert_impl(m, new, keys1, count1, new_origin, voxel_size, index)
-
-
-# ---------------------------------------------------------------------------
-# 27-neighborhood correspondence search (reference getCorrespondence /
-# findMatchingPairs, voxel_grid.h:164-234)
+# column-directory geometry (shared by the search index and lookups)
 # ---------------------------------------------------------------------------
 
 # np.array (inlined literal), not jnp — see EMPTY_KEY note. Column scan
@@ -532,11 +293,11 @@ _COLUMN_OFFSETS = np.array(
     [[ix, iy, 0] for ix in (-1, 0, 1) for iy in (-1, 0, 1)], np.int32
 )  # (9, 3)
 
-# Column-directory geometry. The directory is a dense (2^GB, 2^GB) grid over
-# the (x, y) column space centered on the key window's midpoint: gx = rx -
-# (XOFF - GHALF). Every voxel the radius-evicted map can hold (<= ~405 voxels
-# from origin at 0.2 m / 80 m) and every gated query (<= ~406) falls inside
-# GHALF = 512, so directory misses are exactly the true misses.
+# The directory is a dense (2^GB, 2^GB) grid over the (x, y) column space
+# centered on the key window's midpoint: gx = rx - (XOFF - GHALF). Every
+# voxel the radius-evicted map can hold (<= ~405 voxels from origin at
+# 0.2 m / 80 m) and every gated query (<= ~406) falls inside GHALF = 512,
+# so directory misses are exactly the true misses.
 _GB = 10
 _G = 1 << _GB            # 1024 columns per axis
 _GHALF = _G // 2
@@ -547,8 +308,6 @@ _GHALF = _G // 2
 _DIR_ZHALF = 128
 _DIR_ZLO = _ZOFF - _DIR_ZHALF       # z-field value of directory bit 0
 _ZWORDS = (2 * _DIR_ZHALF) // 32    # 8 int32 words
-_DIR_W = 1 + _ZWORDS                # [column start slot, z-occupancy x8]
-
 
 _PTR_EMPTY = np.int32(0x7FFFFFFF)
 
@@ -571,25 +330,26 @@ class SearchIndex(NamedTuple):
         exact table slot as `ptr + popcount(bits below z)` — one element
         gather + one 8-wide row gather + VPU popcounts, instead of a
         17-step binary search per column (searchsorted measured ~4x slower
-        on TPU; scripts/micro_corr.py, and its XLA lowering costs ~10 ms
-        per scan in map_update; scripts/profile_map_update.py).
-    rows64: (C, 64) float32 — the stored points in KEY order (gathered once
-        per scan through m.row), flattened to K*3 = 60 lanes with the
-        voxel's point count fused in lane 60. Candidate gathers index this
-        by sorted-table slot directly and bring their own occupancy —
-        gathers are row-COUNT bound on this TPU (~160M rows/s regardless
-        of row bytes; scripts/micro_batched.py), so folding the per-query
-        row+count lookups into one per-scan C-row gather is a large win.
+        on TPU, and its XLA lowering costs ~10 ms per scan in map_update).
+    rows3: (C, 3*RW) int32 — z-TRIPLE candidate rows: row i is the
+        concatenation of tab rows i, i+1, i+2's search lanes
+        ([pts | cnt_f], RW lanes each, f32 bitcast). Within a column the
+        (z-1, z, z+1) voxels occupy consecutive table slots, so ONE rows3
+        gather per query column fetches all three — 3x fewer gather rows
+        (the binding resource: ~85M rows/s at batch 8 regardless of row
+        width; measured 2.6 -> 1.2 ms/lane). Built from `tab` by two
+        shifted slices — no gather.
     """
 
     dense: jax.Array
     desc: jax.Array
-    rows64: jax.Array
+    rows3: jax.Array
 
 
 def build_search_index(m: VoxelMap) -> SearchIndex:
-    """Build the per-scan column directory + key-ordered candidate rows."""
+    """Build the per-scan column directory + z-triple candidate rows."""
     C, K = m.capacity, m.max_points
+    RW, _, _ = _lanes(K)
     keys = m.keys
     occ = keys != EMPTY_KEY
     rx = jax.lax.shift_right_logical(keys, _YB + _ZB)          # 11-bit x field
@@ -632,18 +392,11 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
     ].add(jnp.where(in_win, bit, 0), mode="drop")
     desc = desc_flat.reshape(C, _ZWORDS)
 
-    # key-ordered candidate rows: ONE C-row gather through the physical
-    # indirection per scan, padded to a sublane multiple
-    width = -(-(K * 3 + 1) // 8) * 8
-    rows64 = jnp.concatenate(
-        [
-            m.pts.reshape(C, K * 3)[m.row],
-            m.count.astype(jnp.float32)[:, None],
-            jnp.zeros((C, width - K * 3 - 1), jnp.float32),
-        ],
-        axis=1,
-    )
-    return SearchIndex(dense=dense, desc=desc, rows64=rows64)
+    # z-triple candidate rows: pure slices of tab, no gather
+    rows = m.tab[:, :RW]
+    rp = jnp.concatenate([rows, jnp.zeros((2, RW), jnp.int32)], axis=0)
+    rows3 = jnp.concatenate([rp[0:C], rp[1 : C + 1], rp[2 : C + 2]], axis=1)
+    return SearchIndex(dense=dense, desc=desc, rows3=rows3)
 
 
 def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
@@ -678,6 +431,269 @@ def _zbit(zmask: jax.Array, z: jax.Array) -> jax.Array:
     return ok & (jax.lax.shift_right_logical(w, bit) & 1).astype(bool)
 
 
+def _directory_lookup(
+    m: VoxelMap, index: SearchIndex, sxyz: jax.Array, valid_e: jax.Array,
+    voxel_size: float,
+):
+    """(pos, found) of each point's voxel in the sorted table via the column
+    directory — replaces jnp.searchsorted, whose XLA lowering (a 17-round
+    elementwise-gather while loop) costs ~10 ms/scan on this TPU where the
+    directory row-gather + popcount rank-select costs ~0.3 ms.
+
+    Coordinates are taken relative to m.origin (the directory's frame); the
+    caller may store keys relative to a different (rebased) origin — a
+    uniform key shift preserves sorted order, so positions agree.
+    """
+    C = m.capacity
+    idx = voxel_indices(sxyz, voxel_size) - m.origin
+    gx = idx[..., 0] + _GHALF
+    gy = idx[..., 1] + _GHALF
+    z = idx[..., 2] + _DIR_ZHALF
+    in_win = (
+        valid_e & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
+        & (z >= 0) & (z < 2 * _DIR_ZHALF)
+    )
+    cell = jnp.where(in_win, gx * _G + gy, _G * _G)
+    start = index.dense[cell]                # (N,) leader slot or EMPTY
+    got = start != _PTR_EMPTY
+    start_c = jnp.where(got, start, 0)
+    zmask = index.desc[start_c]              # (N, ZWORDS)
+    zmask = jnp.where(got[..., None], zmask, 0)
+    zc = jnp.clip(z, 0, 2 * _DIR_ZHALF - 1)
+    pos = start_c + _popcount_below(zmask, zc)
+    found = in_win & got & _zbit(zmask, zc)
+    pos = jnp.where(found, jnp.minimum(pos, C - 1), C - 1)
+    return pos, found
+
+
+# ---------------------------------------------------------------------------
+# fused per-scan maintenance: evict + rebase + insert with ONE sort and ONE
+# row gather (reference radiusCleanup + addCloud, voxel_grid.h:236-246,77-93)
+# ---------------------------------------------------------------------------
+
+def _update_impl(
+    m: VoxelMap,
+    new: PointsWithNormals,
+    new_origin: jax.Array,
+    evict: jax.Array | None,
+    voxel_size: float,
+    index: SearchIndex | None,
+) -> VoxelMap:
+    """Shared evict+insert body.
+
+    1. ONE elementwise pass rebuilds the meta lanes in place: keys
+       uniformly shifted to the new origin, evicted voxels tombstoned
+       (count 0; key kept so a same-scan re-insert reuses the row — the
+       reference's erase-then-reinsert, voxel_grid.h:236-246 + 77-93) or
+       dropped to EMPTY if no incoming point touches them.
+    2. Incoming points (sorted by key; stable sort keeps input order so
+       first-come-kept capping is deterministic) are written into an
+       extended row space [tab ++ fresh rows] with small flat element
+       scatters: found groups append into their existing row at
+       lanes [count..K), fresh groups build their row at C + leader.
+    3. ONE argsort of (C + N_in) keys and ONE (C,)-row gather permute the
+       extended rows back into a sorted C-row table. At capacity overflow
+       the C smallest keys win (documented deviation; the reference grows).
+    """
+    C, K = m.capacity, m.max_points
+    RW, MB, W = _lanes(K)
+
+    shift = _shift_key(new_origin - m.origin)
+    old_keys = m.keys
+    occupied = old_keys != EMPTY_KEY
+    keys1 = jnp.where(occupied, old_keys - shift, EMPTY_KEY)
+    if evict is None:
+        count1 = m.count
+        evicted = jnp.zeros_like(occupied)
+    else:
+        evicted = occupied & evict
+        count1 = jnp.where(evicted, 0, m.count)
+
+    # --- sort incoming by key (stable: input order within voxel) ---
+    n_in = new.xyz.shape[0]
+    keys_in = pack_keys(voxel_indices(new.xyz, voxel_size), new_origin,
+                        new.valid, map_window=True)
+    order_in = jnp.argsort(keys_in, stable=True)
+    skeys = keys_in[order_in]
+    sxyz = new.xyz[order_in]
+    snrm = new.normal[order_in]
+    leader, rank, start = _group_structure(skeys)
+    valid_e = skeys != EMPTY_KEY
+
+    # --- locate each group in the OLD table layout ---
+    if index is not None:
+        pos_c, found = _directory_lookup(m, index, sxyz, valid_e, voxel_size)
+        found = found & (keys1[pos_c] == skeys)  # belt & braces (cheap)
+    else:
+        pos = jnp.searchsorted(keys1, skeys).astype(jnp.int32)
+        pos_c = jnp.minimum(pos, C - 1)
+        found = valid_e & (keys1[pos_c] == skeys)
+
+    # which old rows get re-touched (tombstone reuse detection)
+    touched = jnp.zeros((C,), bool).at[
+        jnp.where(leader & found, pos_c, C)
+    ].set(True, mode="drop")
+    live = (occupied & ~evicted) | touched
+    keys2 = jnp.where(live, keys1, EMPTY_KEY)
+    count1 = jnp.where(touched & evicted, 0, count1)  # reused tombstones
+
+    # --- elementwise meta rebuild: ONE linear pass over tab ---
+    cntf1 = jax.lax.bitcast_convert_type(count1.astype(jnp.float32), jnp.int32)
+    tab_keyed = jnp.concatenate(
+        [
+            m.tab[:, : 3 * K],
+            cntf1[:, None],
+            m.tab[:, 3 * K + 1 : MB],
+            keys2[:, None],
+            count1[:, None],
+            m.tab[:, MB + 2 :],
+        ],
+        axis=1,
+    )
+    # fresh region: zero rows with EMPTY key lanes
+    fresh = jnp.zeros((n_in, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
+    tab_ext = jnp.concatenate([tab_keyed, fresh], axis=0)
+    flat = tab_ext.reshape(-1)
+    total = (C + n_in) * W
+
+    # --- per-element write positions ---
+    base = jnp.where(found, count1[pos_c], 0)
+    ext_slot = jnp.where(found, pos_c, C + start)
+    base = base[start]          # broadcast from leader
+    ext_slot = ext_slot[start]
+    write_idx = base + rank
+    keep = valid_e & (write_idx < K)
+    row_off = ext_slot * W
+
+    def scat(fl, lane_idx, vals_i32, mask):
+        idx = jnp.where(mask, lane_idx, total)
+        return fl.at[idx.reshape(-1)].set(vals_i32.reshape(-1), mode="drop")
+
+    # points + normals (3 lanes each, consecutive)
+    l3 = jnp.arange(3, dtype=jnp.int32)[None, :]
+    pt_lanes = (row_off + 3 * write_idx)[:, None] + l3
+    nr_lanes = (row_off + RW + 3 * write_idx)[:, None] + l3
+    flat = scat(flat, pt_lanes,
+                jax.lax.bitcast_convert_type(sxyz, jnp.int32), keep[:, None])
+    flat = scat(flat, nr_lanes,
+                jax.lax.bitcast_convert_type(snrm, jnp.int32), keep[:, None])
+
+    # per-leader: counts (int + float lanes), fresh keys, anchors
+    n = n_in
+    prev_key = jnp.concatenate([jnp.array([EMPTY_KEY], skeys.dtype), skeys[:-1]])
+    boundary = jnp.concatenate([jnp.array([True]), (skeys != prev_key)[1:]])
+    nxt = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(boundary, jnp.arange(n, dtype=jnp.int32), n),
+        reverse=True,
+    )
+    nxt_strict = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
+    group_size = jnp.where(leader, nxt_strict - jnp.arange(n, dtype=jnp.int32), 0)
+    new_count = jnp.minimum(K, base + group_size)
+
+    flat = scat(flat, row_off + MB + 1, new_count, leader)
+    flat = scat(
+        flat, row_off + 3 * K,
+        jax.lax.bitcast_convert_type(new_count.astype(jnp.float32), jnp.int32),
+        leader,
+    )
+    flat = scat(flat, row_off + MB, skeys, leader & ~found)
+    anch = leader & (base == 0)
+    an_lanes = (row_off + MB + 2)[:, None] + l3
+    flat = scat(flat, an_lanes,
+                jax.lax.bitcast_convert_type(sxyz, jnp.int32), anch[:, None])
+
+    tab_ext = flat.reshape(C + n_in, W)
+
+    # --- merge permute: one sort + one C-row gather ---
+    fresh_keys = jnp.where(leader & ~found & keep, skeys, EMPTY_KEY)
+    keys_ext = jnp.concatenate([keys2, fresh_keys])
+    order = jnp.argsort(keys_ext)[:C]
+    new_tab = tab_ext[order]
+    return VoxelMap(tab=new_tab, origin=new_origin, kdim=m.kdim)
+
+
+@partial(jax.jit, static_argnames=("voxel_size",))
+def map_insert(m: VoxelMap, new: PointsWithNormals, *, voxel_size: float) -> VoxelMap:
+    """Insert points (world frame) with first-come-kept capping semantics.
+
+    New points join existing voxels only while `count < max_points`
+    (drop overflow, voxel_grid.h:88-91); new voxels are merged into the
+    sorted table. Deterministic: incoming points are processed in input
+    order within each voxel (stable sort), voxels in key order.
+    """
+    return _update_impl(m, new, m.origin, None, voxel_size, None)
+
+
+@partial(jax.jit, static_argnames=("radius", "voxel_size"))
+def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float,
+                   voxel_size: float) -> VoxelMap:
+    """Erase voxels whose *first stored point* is farther than `radius` from
+    `center` (the reference anchors eviction on VoxelWithPlanes::getOrigin,
+    voxel_with_planes.h:32-35), then re-base the key origin to the current
+    center so the coordinate window tracks the sensor.
+    """
+    new_origin = voxel_indices(center, voxel_size)
+    empty = PointsWithNormals(
+        xyz=jnp.zeros((0, 3), jnp.float32),
+        normal=jnp.zeros((0, 3), jnp.float32),
+        valid=jnp.zeros((0,), bool),
+    )
+    evict = _evict_mask(m, center, new_origin, radius)
+    return _update_impl(m, empty, new_origin, evict, voxel_size, None)
+
+
+def _evict_mask(m: VoxelMap, center: jax.Array, new_origin: jax.Array,
+                radius: float) -> jax.Array:
+    """Out-of-radius or outside the rebased directory windows."""
+    d2 = jnp.sum((m.anchor - center) ** 2, axis=-1)
+    shift = _shift_key(new_origin - m.origin)
+    shifted = m.keys - shift
+    rz = shifted & ((1 << _ZB) - 1)
+    rx = jax.lax.shift_right_logical(shifted, _YB + _ZB)
+    ry = jax.lax.shift_right_logical(shifted, _ZB) & ((1 << _YB) - 1)
+    in_win = (
+        (rz >= _DIR_ZLO) & (rz < _DIR_ZLO + 2 * _DIR_ZHALF)
+        & (rx >= _XOFF - _GHALF) & (rx < _XOFF + _GHALF)
+        & (ry >= _YOFF - _GHALF) & (ry < _YOFF + _GHALF)
+    )
+    return (d2 > radius * radius) | ~in_win
+
+
+@partial(jax.jit, static_argnames=("voxel_size", "radius", "origin_quantum"))
+def map_update(
+    m: VoxelMap, new: PointsWithNormals, center: jax.Array,
+    *, voxel_size: float, radius: float, index: SearchIndex | None = None,
+    origin_quantum: int = 1,
+) -> VoxelMap:
+    """radius_cleanup followed by map_insert, fused to a single sort pass.
+
+    Semantically identical to the reference's per-scan sequence
+    (lidar_odometry.cpp:67-70: radiusCleanup then addCloud): evicted voxels
+    are tombstoned in place so a same-scan re-insert reuses the row, then
+    unreused tombstones drop in the final merge.
+
+    origin_quantum > 1 snaps the rebased origin's x/y down to a multiple of
+    the quantum (floor division — deterministic). Used by the spatially
+    sharded map (parallel/spatial.py): column ownership `gx mod N` is
+    invariant under origin shifts that are multiples of N, so shard
+    ownership never changes across rebases and voxels never migrate
+    between devices. The origin is then at most quantum-1 voxels from the
+    sensor — negligible against the +-512-voxel key window.
+    """
+    new_origin = voxel_indices(center, voxel_size)
+    if origin_quantum > 1:
+        q = np.int32(origin_quantum)
+        new_origin = new_origin.at[:2].set((new_origin[:2] // q) * q)
+    evict = _evict_mask(m, center, new_origin, radius)
+    return _update_impl(m, new, new_origin, evict, voxel_size, index)
+
+
+# ---------------------------------------------------------------------------
+# 27-neighborhood correspondence search (reference getCorrespondence /
+# findMatchingPairs, voxel_grid.h:164-234)
+# ---------------------------------------------------------------------------
+
 def _neighborhood_slots(
     m: VoxelMap,
     index: SearchIndex,
@@ -686,14 +702,15 @@ def _neighborhood_slots(
     *,
     voxel_size: float,
 ):
-    """Exact sorted-table slots of the 3x3x3 neighborhood of each query.
+    """Slot bases + z-triple structure of each query's 3x3x3 neighborhood.
 
-    Returns (slots (Q, 9, 3) int32 clamped to [0, C-1], present (Q, 9, 3)
-    bool). Shared by the per-iteration search and the per-scan candidate
-    gather; the (column, z) order matches the reference's neighbor scan
+    Returns (base (Q, 9) int32 clamped slot of the first present voxel at
+    z >= z-1 in each column, off (Q, 9, 3) int32 in {0,1,2} position of the
+    z-1/z/z+1 voxel within the triple starting at base, present (Q, 9, 3)
+    bool). The (column, z) order matches the reference's neighbor scan
     order (voxel_grid.h:175-177).
     """
-    C = m.capacity
+    C = index.rows3.shape[0]
     Q = q_world.shape[0]
     base_idx = voxel_indices(q_world, voxel_size) - m.origin  # relative (Q, 3)
     col_xy = base_idx[:, None, :2] + _COLUMN_OFFSETS[None, :, :2]  # (Q, 9, 2)
@@ -714,20 +731,18 @@ def _neighborhood_slots(
     zmask = jnp.where(got[..., None], zmask, 0)
     col_ok = col_ok & got
 
-    # exact slots of (z-1, z, z+1) per column by rank-select
-    start = start_c
     zq9 = jnp.broadcast_to(zq[:, None], (Q, 9))
     rank_m1 = _popcount_below(zmask, jnp.clip(zq9 - 1, 0, 2 * _DIR_ZHALF - 1))
     p_m1 = _zbit(zmask, zq9 - 1) & col_ok
     p_0 = _zbit(zmask, zq9) & col_ok
     p_p1 = _zbit(zmask, zq9 + 1) & col_ok
-    s_m1 = start + rank_m1
-    s_0 = s_m1 + p_m1.astype(jnp.int32)
-    s_p1 = s_0 + p_0.astype(jnp.int32)
-    slots = jnp.stack([s_m1, s_0, s_p1], axis=-1)    # (Q, 9, 3)
+    base = jnp.where(col_ok, jnp.minimum(start_c + rank_m1, C - 1), C - 1)
+    i_m1 = jnp.zeros_like(base)
+    i_0 = p_m1.astype(jnp.int32)
+    i_p1 = i_0 + p_0.astype(jnp.int32)
+    off = jnp.stack([i_m1, i_0, i_p1], axis=-1)      # (Q, 9, 3)
     present = jnp.stack([p_m1, p_0, p_p1], axis=-1)  # (Q, 9, 3)
-    slots = jnp.where(present, jnp.minimum(slots, C - 1), C - 1)
-    return slots, present
+    return base, off, present
 
 
 class CandidateSet(NamedTuple):
@@ -738,12 +753,12 @@ class CandidateSet(NamedTuple):
     neighborhoods barely change. Gathering every candidate row ONCE (at
     the initial-guess pose) and re-evaluating distances against the cached
     points each outer iteration turns the per-iteration random-access
-    gather (~40 GB/s effective on this TPU) into a linear stream the VPU
-    eats at full bandwidth. The 0.3 m distance gate still applies exactly;
-    the only deviation from re-searching each iteration is that a query
-    whose pose-updated position crosses a voxel boundary keeps its
-    guess-pose neighborhood (bounded by the intra-ICP pose motion, << the
-    0.2 m voxel + 0.3 m gate slack — validated against the exact search in
+    gather into a linear stream the VPU eats at full bandwidth. The 0.3 m
+    distance gate still applies exactly; the only deviation from
+    re-searching each iteration is that a query whose pose-updated
+    position crosses a voxel boundary keeps its guess-pose neighborhood
+    (bounded by the intra-ICP pose motion, << the 0.2 m voxel + 0.3 m gate
+    slack — validated against the exact search in
     tests/test_voxel_map.py::test_cached_candidates_match_exact_search and
     trajectory-level vs the oracle in tests/test_oracle_equivalence.py).
 
@@ -757,6 +772,28 @@ class CandidateSet(NamedTuple):
     slots: jax.Array
 
 
+def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
+    """One rows3 gather per query column -> (Q, 27, K, 3) candidates in
+    reference (col, z, insertion) order + validity + table slots."""
+    C = index.rows3.shape[0]
+    K = m.max_points
+    RW = index.rows3.shape[1] // 3
+    Q = q_world.shape[0]
+    base, off, present = _neighborhood_slots(
+        m, index, q_world, query_valid, voxel_size=voxel_size
+    )
+    r3 = index.rows3[base.reshape(-1)].reshape(Q, 9, 3, RW)  # THE gather
+    r3 = jax.lax.bitcast_convert_type(r3, jnp.float32)
+    # reorder slot-triple -> z-order and mask absences
+    rz = jnp.take_along_axis(r3, off[..., None], axis=2)     # (Q, 9, 3, RW)
+    pts = rz[..., : 3 * K].reshape(Q, 27, K, 3)
+    cnt = rz[..., 3 * K].astype(jnp.int32).reshape(Q, 27)
+    kidx = np.arange(K, dtype=np.int32)[None, None, :]
+    ok = present.reshape(Q, 27)[..., None] & (kidx < cnt[..., None])
+    slots = jnp.minimum(base[..., None] + off, C - 1).reshape(Q, 27)
+    return CandidateSet(pts=pts, ok=ok, slots=slots)
+
+
 def gather_candidates(
     m: VoxelMap,
     index: SearchIndex,
@@ -767,37 +804,29 @@ def gather_candidates(
     *,
     voxel_size: float,
 ) -> CandidateSet:
-    """Materialize every query's 27-voxel candidates with one gather."""
-    C, K = m.capacity, m.max_points
-    Q = query_local.shape[0]
+    """Materialize every query's 27-voxel candidates (one gather/column)."""
     q_world = query_local @ pose_R.T + pose_t
-    slots, present = _neighborhood_slots(
+    return _gather_neighborhood(
         m, index, q_world, query_valid, voxel_size=voxel_size
     )
-    slots27 = slots.reshape(Q, 27)
-    rows = index.rows64[slots27.reshape(-1)].reshape(Q, 27, -1)  # THE gather
-    pts = rows[..., : K * 3].reshape(Q, 27, K, 3)
-    cnt = rows[..., K * 3].astype(jnp.int32)
-    kidx = np.arange(K, dtype=np.int32)[None, None, :]
-    ok = present.reshape(Q, 27)[..., None] & (kidx < cnt[..., None])
-    return CandidateSet(pts=pts, ok=ok, slots=slots27)
 
 
-def match_candidates(
-    m: VoxelMap,
-    cand: CandidateSet,
-    query_local: jax.Array,
-    query_valid: jax.Array,
-    pose_t: jax.Array,
-    pose_R: jax.Array,
-    *,
-    max_distance: float,
-) -> Correspondence:
-    """Nearest cached candidate under the distance gate at the CURRENT pose.
+def _winner_normal(m: VoxelMap, best_slot: jax.Array, best_k: jax.Array):
+    """Stored normal of the winning (slot, k) — one small (Q,) row gather."""
+    K = m.max_points
+    RW, _, _ = _lanes(K)
+    rows = m.tab[best_slot, RW : RW + 3 * K]                  # (Q, 3K) i32
+    nrm = jax.lax.bitcast_convert_type(rows, jnp.float32).reshape(-1, K, 3)
+    return jnp.take_along_axis(nrm, best_k[:, None, None], axis=1)[:, 0]
 
-    Tie-breaking matches find_correspondences_indexed exactly: first
-    minimum in (column scan, z, insertion) order — the cache layout is
-    (col, z, k), so one flat argmin reproduces it.
+
+def _select_best(m, cand: CandidateSet, query_local, query_valid,
+                 pose_t, pose_R, max_distance: float) -> Correspondence:
+    """Nearest candidate under the distance gate at the CURRENT pose.
+
+    First minimum in (column scan, z, insertion) order — the cache layout
+    is (col, z, k), so one flat argmin reproduces the reference's
+    tie-breaking (voxel_grid.h:175-196).
     """
     Q, _, K, _ = cand.pts.shape
     q_world = query_local @ pose_R.T + pose_t
@@ -812,16 +841,30 @@ def match_candidates(
     k_idx = (loc % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.take_along_axis(cand.slots, c_idx[:, None], axis=-1)[:, 0]
-    best_phys = m.row[best_slot]                    # (Q,) winner indirection
     flat_pts = cand.pts.reshape(Q, 27 * K, 3)
     plane_origin = jnp.take_along_axis(flat_pts, loc[:, None, None], axis=1)[:, 0]
-    plane_normal = m.nrm[best_phys, k_idx]          # tiny winner gather
+    plane_normal = _winner_normal(m, best_slot, k_idx)
     return Correspondence(
         source_local=query_local,
         plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
         plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
         valid=valid,
     )
+
+
+def match_candidates(
+    m: VoxelMap,
+    cand: CandidateSet,
+    query_local: jax.Array,
+    query_valid: jax.Array,
+    pose_t: jax.Array,
+    pose_R: jax.Array,
+    *,
+    max_distance: float,
+) -> Correspondence:
+    """Re-match cached candidates at the current pose (pure streaming)."""
+    return _select_best(m, cand, query_local, query_valid, pose_t, pose_R,
+                        max_distance)
 
 
 def find_correspondences_indexed(
@@ -842,65 +885,16 @@ def find_correspondences_indexed(
     nearest stored point under a squared-distance gate over the 3x3x3
     neighbor voxels, first-minimum tie-breaking in (voxel scan, insertion)
     order; the winner's stored normal is the matching plane.
-
-    TPU shape: per (x, y) column, ONE directory row-gather yields the
-    column's start slot + z-occupancy bitmask; popcount rank-select turns
-    that into exact sorted-table slots for z-1/z/z+1. The 9 columns are
-    processed with a running best, so the only large intermediates are one
-    column's candidates — ~9x less live memory than materializing all 27
-    voxels, and no normals gather (the winner's normal is fetched at the
-    end, 1 row per query).
     """
-    C, K = m.capacity, m.max_points
-    Q = query_local.shape[0]
-    q_world = query_local @ pose_R.T + pose_t  # (Q, 3)
-    max_d2 = np.float32(max_distance * max_distance)
-
-    slots, present = _neighborhood_slots(
-        m, index, q_world, query_valid, voxel_size=voxel_size
+    cand = gather_candidates(
+        m, index, query_local, query_valid, pose_t, pose_R,
+        voxel_size=voxel_size,
     )
-
-    rows64 = index.rows64
-    kidx = np.arange(K, dtype=np.int32)[None, None, :]  # (1, 1, K)
-
-    # running best over the 9 columns, in reference scan order: strict '<'
-    # keeps the earliest column on ties; within a column, argmin keeps the
-    # first (z, insertion-order) minimum.
-    best_d2 = jnp.full((Q,), max_d2, jnp.float32)
-    best_slot = jnp.zeros((Q,), jnp.int32)
-    best_k = jnp.zeros((Q,), jnp.int32)
-    for c in range(9):
-        sl = slots[:, c, :]                       # (Q, 3)
-        pr = present[:, c, :]
-        rows_c = rows64[sl.reshape(-1)].reshape(Q, 3, -1)  # (Q, 3, width)
-        pts_c = rows_c[..., : K * 3].reshape(Q, 3, K, 3)
-        cnt_c = rows_c[..., K * 3]                # (Q, 3) float count
-        ok = pr[..., None] & (kidx < cnt_c[..., None].astype(jnp.int32))
-        diff = pts_c - q_world[:, None, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)        # (Q, 3, K)
-        d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
-        flat = d2.reshape(Q, 3 * K)
-        loc = jnp.argmin(flat, axis=-1)           # first min in (z, k) order
-        loc_d = jnp.take_along_axis(flat, loc[:, None], axis=-1)[:, 0]
-        better = loc_d < best_d2
-        sl_win = jnp.take_along_axis(sl, (loc // K)[:, None], axis=-1)[:, 0]
-        best_slot = jnp.where(better, sl_win, best_slot)
-        best_k = jnp.where(better, (loc % K).astype(jnp.int32), best_k)
-        best_d2 = jnp.where(better, loc_d, best_d2)
-
-    valid = query_valid & (best_d2 < max_d2)
-    best_phys = m.row[best_slot]              # (Q,) winner indirection
-    plane_origin = m.pts[best_phys, best_k]   # (Q, 3) — tiny winner gathers
-    plane_normal = m.nrm[best_phys, best_k]
-    return Correspondence(
-        source_local=query_local,
-        plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
-        plane_normal=jnp.where(valid[:, None], plane_normal, 0.0),
-        valid=valid,
-    )
+    return _select_best(m, cand, query_local, query_valid, pose_t, pose_R,
+                        max_distance)
 
 
-@partial(jax.jit, static_argnames=("voxel_size", "max_distance", "use_pallas"))
+@partial(jax.jit, static_argnames=("voxel_size", "max_distance"))
 def find_correspondences(
     m: VoxelMap,
     query_local: jax.Array,
@@ -910,14 +904,12 @@ def find_correspondences(
     *,
     voxel_size: float,
     max_distance: float,
-    use_pallas: bool = False,  # kept for API compat; reduction is fused now
 ) -> Correspondence:
     """One-shot correspondence search (builds the SearchIndex internally).
 
     For repeated searches against the same map — the ICP loop — build the
     index once with build_search_index and call find_correspondences_indexed.
     """
-    del use_pallas
     index = build_search_index(m)
     return find_correspondences_indexed(
         m, index, query_local, query_valid, pose_t, pose_R,
@@ -932,19 +924,15 @@ def find_correspondences(
 
 def get_cloud(m: VoxelMap):
     """All stored (point, normal) pairs as numpy arrays (voxel_grid.h:112-129)."""
-    import numpy as np
-
     keys = np.asarray(m.keys)
     count = np.asarray(m.count)
-    row = np.asarray(m.row)
     pts = np.asarray(m.pts)
     nrm = np.asarray(m.nrm)
     out_p, out_n = [], []
     for i in np.nonzero(keys != np.int32(0x7FFFFFFF))[0]:
         c = count[i]
-        r = row[i]
-        out_p.append(pts[r, :c])
-        out_n.append(nrm[r, :c])
+        out_p.append(pts[i, :c])
+        out_n.append(nrm[i, :c])
     if not out_p:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
     return np.concatenate(out_p), np.concatenate(out_n)
@@ -952,8 +940,6 @@ def get_cloud(m: VoxelMap):
 
 def get_sparse_cloud(m: VoxelMap):
     """One point per voxel (the first stored), numpy (voxel_grid.h:149-162)."""
-    import numpy as np
-
     keys = np.asarray(m.keys)
     sel = keys != np.int32(0x7FFFFFFF)
     return np.asarray(m.anchor)[sel, :]

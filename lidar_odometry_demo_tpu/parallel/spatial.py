@@ -83,55 +83,37 @@ def owner_mask(xyz: jax.Array, origin: jax.Array, voxel_size: float,
 class HaloView(NamedTuple):
     """Composite (local + ring-neighbor halos) map view for the search."""
 
-    m: VoxelMap          # view over concatenated candidate/normal rows
+    m: VoxelMap          # concatenated [self, next, prev] table
     index: SearchIndex   # owner-resolved dense directory + concat desc/rows
-
-
-def _nrm64(m: VoxelMap) -> jax.Array:
-    """Key-ordered normal rows, same layout as SearchIndex.rows64 (one
-    C-row gather through the physical indirection per scan)."""
-    C, K = m.capacity, m.max_points
-    width = m.pts.shape[-2] * 3  # K*3
-    pad = -(-(width + 1) // 8) * 8 - width
-    return jnp.concatenate(
-        [m.nrm.reshape(C, width)[m.row], jnp.zeros((C, pad), jnp.float32)],
-        axis=1,
-    )
 
 
 def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
     """Exchange halos with the ring neighbors and fuse a composite view.
 
-    Two ppermutes per scan move (rows64, nrm64, desc, dense) from ranks
-    r+1 and r-1 to r; the composite dense directory selects per column the
-    unique owning block, with slot pointers offset into the concatenated
-    rows [self, next, prev]. A query whose center column this device owns
-    only ever touches columns owned by ranks {r-1, r, r+1}, so the view is
-    complete for every locally-owned query.
+    Two ppermutes per scan move (tab, dense, desc) from ranks r+1 and r-1
+    to r; the composite dense directory selects per column the unique
+    owning block, with slot pointers offset into the concatenated tables
+    [self, next, prev]. A query whose center column this device owns only
+    ever touches columns owned by ranks {r-1, r, r+1}, so the view is
+    complete for every locally-owned query. The composite is itself a
+    valid VoxelMap + SearchIndex: every search kernel runs verbatim (the
+    z-triple rows are rebuilt from the concatenated table by pure slices;
+    a triple never straddles blocks — within-column runs live entirely in
+    their owner's block, and cross-block reads are masked absent).
     """
     n = jax.lax.axis_size(axis)
     r = jax.lax.axis_index(axis)
-    S, K = m.capacity, m.max_points
-    nrm_rows = _nrm64(m)
+    S = m.capacity
 
     if n == 1:
-        meta = jnp.zeros((S, 8), jnp.int32).at[:, 2].set(
-            jnp.arange(S, dtype=jnp.int32))
-        view_m = VoxelMap(
-            meta=meta,
-            occ=jnp.ones((S,), bool),
-            pts=index.rows64[:, : K * 3].reshape(S, K, 3),
-            nrm=nrm_rows[:, : K * 3].reshape(S, K, 3),
-            origin=m.origin,
-        )
-        return HaloView(m=view_m, index=index)
+        return HaloView(m=m, index=index)
 
     def from_rank(src_offset: int, x):
         # receive each array from rank (r + src_offset) mod n
         perm = [(int((i + src_offset) % n), i) for i in range(n)]
         return jax.lax.ppermute(x, axis, perm)
 
-    blocks = [(index.dense, index.desc, index.rows64, nrm_rows)]
+    blocks = [(m.tab, index.dense, index.desc)]
     for off in (1, n - 1):  # next, prev (same device twice when n == 2)
         blocks.append(tuple(from_rank(off, x) for x in blocks[0]))
 
@@ -140,28 +122,25 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
     cell_gx = jnp.arange(_G * _G + 1, dtype=jnp.int32) // _G  # overflow->_G
     owner_rel = (cell_gx % n - r) % n
     dense_cat = jnp.full((_G * _G + 1,), _PTR_EMPTY, jnp.int32)
-    for b, (dense_b, _, _, _) in enumerate(blocks):
+    for b, (_, dense_b, _) in enumerate(blocks):
         sel = owner_rel == (0, 1, n - 1)[b]
         shifted = jnp.where(dense_b == _PTR_EMPTY, _PTR_EMPTY,
                             dense_b + np.int32(b) * S)
         dense_cat = jnp.where(sel, shifted, dense_cat)
     dense_cat = dense_cat.at[_G * _G].set(_PTR_EMPTY)  # overflow stays empty
 
-    desc_cat = jnp.concatenate([b[1] for b in blocks])
-    rows_cat = jnp.concatenate([b[2] for b in blocks])
-    nrm_cat = jnp.concatenate([b[3] for b in blocks])
+    tab_cat = jnp.concatenate([b[0] for b in blocks])
+    desc_cat = jnp.concatenate([b[2] for b in blocks])
+    view_m = VoxelMap(tab=tab_cat, origin=m.origin, kdim=m.kdim)
 
-    S3 = 3 * S
-    meta = jnp.zeros((S3, 8), jnp.int32).at[:, 2].set(
-        jnp.arange(S3, dtype=jnp.int32))
-    view_m = VoxelMap(
-        meta=meta,
-        occ=jnp.ones((S3,), bool),
-        pts=rows_cat[:, : K * 3].reshape(S3, K, 3),
-        nrm=nrm_cat[:, : K * 3].reshape(S3, K, 3),
-        origin=m.origin,
-    )
-    view_idx = SearchIndex(dense=dense_cat, desc=desc_cat, rows64=rows_cat)
+    # z-triple rows of the composite (slices only, no gather)
+    K = m.max_points
+    RW = index.rows3.shape[1] // 3
+    rows = tab_cat[:, :RW]
+    C3 = 3 * S
+    rp = jnp.concatenate([rows, jnp.zeros((2, RW), jnp.int32)], axis=0)
+    rows3 = jnp.concatenate([rp[0:C3], rp[1 : C3 + 1], rp[2 : C3 + 2]], axis=1)
+    view_idx = SearchIndex(dense=dense_cat, desc=desc_cat, rows3=rows3)
     return HaloView(m=view_m, index=view_idx)
 
 

@@ -28,8 +28,10 @@ _FIELDS = (
 #   (untagged)  round-1 layout: keyframe.{keys,count,pts,nrm,origin} with the
 #               payload permuted into key order (no physical indirection)
 #   2           keyframe.{meta,occ,pts,nrm,origin}: sorted logical index over
-#               immutable physical rows (see vm.VoxelMap)
-FORMAT_VERSION = 2
+#               immutable physical rows
+#   3           keyframe.{tab,origin,kdim}: fused single-array sorted table
+#               (see vm.VoxelMap / vm._lanes)
+FORMAT_VERSION = 3
 
 
 def save_npz(path: str, state: OdometryState) -> None:
@@ -46,49 +48,71 @@ def save_npz(path: str, state: OdometryState) -> None:
     np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
 
 
+def _assemble_tab(keys, count, pts, nrm, anchor) -> vm.VoxelMap:
+    """Build a v3 fused table from key-ordered columns (host numpy)."""
+    c, k = pts.shape[0], pts.shape[1]
+    rw, mb, w = vm._lanes(k)
+    tab = np.zeros((c, w), np.int32)
+    tab[:, : 3 * k] = pts.reshape(c, 3 * k).view(np.int32)
+    tab[:, 3 * k] = count.astype(np.float32).view(np.int32)
+    tab[:, rw : rw + 3 * k] = nrm.reshape(c, 3 * k).view(np.int32)
+    tab[:, mb] = keys
+    tab[:, mb + 1] = count
+    tab[:, mb + 2 : mb + 5] = anchor.view(np.int32)
+    return tab
+
+
 def _migrate_v1(z) -> vm.VoxelMap:
-    """Round-1 layout -> current: payload was stored in key order, so the
-    physical row of logical slot i is i itself."""
+    """Round-1 layout: payload already in key order."""
     keys = np.asarray(z["keyframe.keys"], np.int32)
     count = np.asarray(z["keyframe.count"], np.int32)
     pts = np.asarray(z["keyframe.pts"], np.float32)
     nrm = np.asarray(z["keyframe.nrm"], np.float32)
-    c = keys.shape[0]
-    row = np.arange(c, dtype=np.int32)
-    anchor = pts[:, 0, :]
-    meta = np.concatenate(
-        [
-            keys[:, None], count[:, None], row[:, None],
-            anchor.view(np.int32), np.zeros((c, 2), np.int32),
-        ],
-        axis=1,
-    )
-    occ = keys != np.int32(0x7FFFFFFF)
+    tab = _assemble_tab(keys, count, pts, nrm, pts[:, 0, :])
     return vm.VoxelMap(
-        meta=jnp.asarray(meta),
-        occ=jnp.asarray(occ),
-        pts=jnp.asarray(pts),
-        nrm=jnp.asarray(nrm),
+        tab=jnp.asarray(tab),
         origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
+        kdim=jnp.zeros((0, pts.shape[1]), jnp.int32),
+    )
+
+
+def _migrate_v2(z) -> vm.VoxelMap:
+    """Round-2 layout: sorted meta index over physical payload rows."""
+    meta = np.asarray(z["keyframe.meta"], np.int32)
+    pts = np.asarray(z["keyframe.pts"], np.float32)
+    nrm = np.asarray(z["keyframe.nrm"], np.float32)
+    keys, count, row = meta[:, 0], meta[:, 1], meta[:, 2]
+    anchor = meta[:, 3:6].view(np.float32)
+    tab = _assemble_tab(keys, count, pts[row], nrm[row], anchor)
+    return vm.VoxelMap(
+        tab=jnp.asarray(tab),
+        origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
+        kdim=jnp.zeros((0, pts.shape[1]), jnp.int32),
     )
 
 
 def load_npz(path: str) -> OdometryState:
     z = np.load(path)
-    if "format_version" not in z and "keyframe.keys" in z:
-        keyframe = _migrate_v1(z)  # legacy round-1 checkpoint
-    else:
-        version = int(z["format_version"]) if "format_version" in z else None
+    if "keyframe.tab" in z:
         missing = [f for f in _FIELDS if f not in z]
         if missing:
             raise ValueError(
-                f"checkpoint missing fields: {missing} (file format version "
-                f"{version}, expected {FORMAT_VERSION}; the voxel-map layout "
-                f"changed in v2: keys/count/pts/nrm -> meta/occ with physical-"
-                f"row indirection)"
+                f"checkpoint missing fields: {missing} (format version "
+                f"{int(z['format_version']) if 'format_version' in z else '?'},"
+                f" expected {FORMAT_VERSION})"
             )
         keyframe = vm.VoxelMap(
             **{f: jnp.asarray(z["keyframe." + f]) for f in vm.VoxelMap._fields}
+        )
+    elif "keyframe.meta" in z:
+        keyframe = _migrate_v2(z)  # round-2 layout
+    elif "keyframe.keys" in z:
+        keyframe = _migrate_v1(z)  # round-1 layout
+    else:
+        raise ValueError(
+            "unrecognized checkpoint layout: expected keyframe.tab (v3), "
+            "keyframe.meta (v2) or keyframe.keys (v1); the voxel-map layout "
+            "changed to a fused single-array sorted table in v3"
         )
     return OdometryState(
         keyframe=keyframe,

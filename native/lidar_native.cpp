@@ -248,12 +248,21 @@ long ln_vlp16_decode(const uint8_t* packets, long num_packets, float* out_xyz,
       uint16_t az_raw;
       memcpy(&az_raw, blk + 2, 2);
       double az0 = az_raw / 100.0;  // degrees
-      // azimuth step to next block (wrap-aware)
-      double az_step = 0.4;  // default for 10 Hz dual-sequence
+      // azimuth step to next block (wrap-aware); the last block reuses the
+      // step measured from its predecessor (the velodyne driver's own
+      // interpolation strategy) so the rate adapts to any spin speed
+      // instead of assuming the 10 Hz dual-sequence default
+      double az_step = 0.4;
       if (b + 1 < 12) {
         uint16_t az_next;
         memcpy(&az_next, pkt + (b + 1) * 100 + 2, 2);
         double d = (az_next - az_raw) / 100.0;
+        if (d < 0) d += 360.0;
+        az_step = d;
+      } else if (b > 0) {
+        uint16_t az_prev;
+        memcpy(&az_prev, pkt + (b - 1) * 100 + 2, 2);
+        double d = (az_raw - az_prev) / 100.0;
         if (d < 0) d += 360.0;
         az_step = d;
       }
@@ -277,8 +286,12 @@ long ln_vlp16_decode(const uint8_t* packets, long num_packets, float* out_xyz,
           out_xyz[3 * n + 1] = (float)y;
           out_xyz[3 * n + 2] = (float)z;
           out_intensity[n] = (float)rec[2];
-          // ring index by elevation order (-15 deg = ring 0)
-          int ring = (ch < 8) ? (ch * 2) : ((ch - 8) * 2 + 1);
+          // ring index by elevation order (-15 deg = ring 0). Channels
+          // fire interleaved (kVlp16Elev): even channels are the lower
+          // fan -15..-1 deg (ring = ch/2), odd channels the upper fan
+          // +1..+15 deg (ring = 8 + (ch-1)/2) — the velodyne driver's
+          // laser ordering.
+          int ring = (ch % 2 == 0) ? (ch / 2) : (8 + (ch - 1) / 2);
           out_ring[n] = (float)ring;
           out_time[n] = (float)(t_pkt + ((b * 2 + seq) * kSeqUs) + ch * kFiringUs);
           n++;

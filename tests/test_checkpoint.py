@@ -36,5 +36,5 @@ def test_corrupt_checkpoint_rejected(tmp_path):
     import pytest
 
     np.savez_compressed(str(tmp_path / "bad.npz"), **{"current.t": np.zeros(3)})
-    with pytest.raises(ValueError, match="missing fields"):
+    with pytest.raises(ValueError, match="unrecognized checkpoint layout|missing fields"):
         checkpoint.load_npz(str(tmp_path / "bad.npz"))

@@ -200,7 +200,7 @@ def test_spatial_pipeline_tracks_single_device():
     assert int(np.asarray(diags_sh.num_matches)[-1]) > 0
     # the shards really partition the map: each holds a fraction
     sizes = np.asarray(
-        jnp.sum((final_sh.keyframe.meta[..., 0] != np.int32(0x7FFFFFFF)), axis=-1)
+        jnp.sum((final_sh.keyframe.keys != np.int32(0x7FFFFFFF)), axis=-1)
     )
     total = sizes.sum()
     assert total > 100
