@@ -73,8 +73,10 @@ def main():
     best = min(times)
     scans_per_sec = num_scans / best
 
-    # sanity: trajectory quality (computed BEFORE the batched attempt so a
-    # device fault there cannot poison these transfers)
+    # accuracy: vs simulated ground truth AND vs the pinned reference-
+    # parity oracle trajectory (benchmarks/BASELINE_REF.tum — the committed
+    # baseline artifact this drive is measured against). Computed BEFORE
+    # the batched attempt so a device fault there cannot poison transfers.
     est = np.asarray(diags.pose.t)
     from scipy.spatial.transform import Rotation
 
@@ -83,21 +85,33 @@ def main():
     )
     gt_rel = g0_R.inv().apply(drive.gt_t - drive.gt_t[0])
     ate = ate_rmse(est, gt_rel, align=True)
+    ate_vs_ref = None
+    import os
+
+    ref_tum = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "BASELINE_REF.tum")
+    if os.path.exists(ref_tum):
+        from lidar_odometry_demo_tpu.io.trajectory import read_tum
+
+        _, ref_t, _ = read_tum(ref_tum)
+        if ref_t.shape[0] == est.shape[0]:
+            ate_vs_ref = ate_rmse(est, ref_t, align=True)
     matches_last = int(diags.num_matches[-1])
     print(
         f"bench: single-seq {scans_per_sec:.1f} scans/s "
-        f"({1e3*best/num_scans:.1f} ms/scan), aligned ATE {ate:.3f} m, "
-        f"matches(last)={matches_last}",
+        f"({1e3*best/num_scans:.1f} ms/scan), aligned ATE {ate:.3f} m vs GT"
+        + (f", {ate_vs_ref:.3f} m vs pinned reference trajectory"
+           if ate_vs_ref is not None else "")
+        + f", matches(last)={matches_last}",
         file=sys.stderr,
     )
 
-    # batched throughput: B independent sequences vmapped on this one chip.
-    # This is the production serving shape (BASELINE.json config 4) and the
-    # number that scans/sec/chip is really about — the serial per-sequence
-    # latency above underutilizes the chip.
-    import os
-
+    # batched throughput: B independent sequences vmapped on this one chip —
+    # the production serving shape (BASELINE.json config 4). Reported on
+    # its own line; the headline value is the best honest aggregate of the
+    # shapes actually measured (each is a real serving configuration).
     B = int(os.environ.get("BENCH_BATCH", "8"))
+    batched_sps = None
     try:
         if B <= 1:
             raise RuntimeError("batched phase disabled (BENCH_BATCH<=1)")
@@ -114,32 +128,37 @@ def main():
         )
         state_b0 = batched.init_batched_state(cfg, B)
         out = run_b(state_b0, scans_b)
-        jax.block_until_ready(out)
+        _ = float(jnp.sum(out[0].current.t))
         tb = []
-        for _ in range(2):
+        for rep in range(2):
+            jit_b = jax.device_put(jax.tree.map(jnp.asarray, scans_b)._replace(
+                xyz=scans_b.xyz + np.float32(1e-4 * (rep + 1))))
+            _ = float(jnp.sum(jit_b.xyz))
             t0 = time.time()
-            out = run_b(state_b0, scans_b)
-            jax.block_until_ready(out)
+            out = run_b(state_b0, jit_b)
+            _ = float(jnp.sum(out[0].current.t)) + float(
+                jnp.sum(out[0].keyframe.count))
             tb.append(time.time() - t0)
         batched_sps = num_scans * B / min(tb)
-        print(f"bench: batched x{B}: {batched_sps:.1f} scans/s "
+        print(f"bench: batched x{B}: {batched_sps:.1f} scans/s aggregate "
               f"({1e3*min(tb)/num_scans:.1f} ms/step-of-{B})", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"bench: batched run failed: {e}", file=sys.stderr)
-        batched_sps = scans_per_sec
 
-    scans_per_sec = max(scans_per_sec, batched_sps)
-
-    print(
-        json.dumps(
-            {
-                "metric": "vlp16_full_pipeline_scans_per_sec_per_chip",
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / 10.0, 2),
-            }
-        )
-    )
+    headline = max(scans_per_sec, batched_sps or 0.0)
+    out = {
+        "metric": "vlp16_full_pipeline_scans_per_sec_per_chip",
+        "value": round(headline, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(headline / 10.0, 2),
+        "single_seq_scans_per_sec": round(scans_per_sec, 2),
+        "aligned_ate_m": round(float(ate), 4),
+    }
+    if batched_sps is not None:
+        out[f"batched_x{B}_scans_per_sec"] = round(batched_sps, 2)
+    if ate_vs_ref is not None:
+        out["ate_vs_pinned_reference_m"] = round(float(ate_vs_ref), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _force(*xs):
     import jax.numpy as jnp
@@ -160,26 +162,66 @@ def config4(args):
 
 
 def config5(args):
+    """Distributed pose-graph refinement (BASELINE config 5): edges sharded
+    over the device mesh (shard_map + one psum per GN iteration), solved by
+    the BLOCK-SPARSE segment-Schur eliminator — O(P*6^3) per iteration, so
+    it scales far past 64 poses (the dense (6P)^3 path stops being viable
+    in the hundreds). Default: 512 poses over all local devices."""
     import numpy as np
-    import jax.numpy as jnp
+    import jax
 
     from lidar_odometry_demo_tpu.ops import se3
+    from lidar_odometry_demo_tpu.parallel import mesh as mesh_lib
     from lidar_odometry_demo_tpu.parallel import pose_graph as pg
+    from jax.sharding import PartitionSpec as P
 
-    # noisy loop trajectory -> refine with the Schur solver
-    from tests.test_pose_graph import _make_noisy_loop  # reuse the generator
+    from tests.test_pose_graph import _closure, _make_noisy_loop
 
-    gt_t, gt_q, est_t, est_q, z_loop = _make_noisy_loop(P_n=64, drift=0.03)
-    g = pg.chain_from_odometry(est_t, est_q, closures=[(63, 0, z_loop, 1.0)])
+    P_n = args.scans or 512
+    stride = 8
+    gt_t, gt_q, est_t, est_q, _ = _make_noisy_loop(P_n=P_n, drift=0.02)
+    closures = [
+        (P_n - stride, 0, _closure(gt_t, gt_q, P_n - stride, 0), 1.0),
+        (P_n // 2 // stride * stride, 0,
+         _closure(gt_t, gt_q, P_n // 2 // stride * stride, 0), 1.0),
+    ]
+    g = pg.chain_from_odometry(est_t, est_q, closures=closures)
+    n_dev = len(jax.devices())
+    g = pg.pad_edges(g, n_dev)
+    mesh = mesh_lib.make_mesh(dp=n_dev, sp=1)
     before = float(np.sqrt(np.mean(np.sum((est_t - gt_t) ** 2, -1))))
-    refined = pg.refine(g, iterations=10, use_schur=True, separator_stride=8)
-    _force(refined.poses.t)
+
+    def local(poses_t, poses_q, ei, ej, zt, zq, wr, wt, valid):
+        graph = pg.PoseGraph(
+            poses=se3.Pose(poses_t, poses_q), edge_i=ei, edge_j=ej,
+            edge_z=se3.Pose(zt, zq), edge_w_rot=wr, edge_w_t=wt,
+            edge_valid=valid)
+        out = pg.refine_segment(graph, stride=stride, iterations=10,
+                                axis_name="dp")
+        return out.poses.t, out.poses.q
+
+    import jax.numpy as jnp
+
+    run = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                  P("dp"), P("dp")),
+        out_specs=(P(), P()), check_vma=False))
+
+    def call():
+        return run(g.poses.t, g.poses.q, g.edge_i, g.edge_j, g.edge_z.t,
+                   g.edge_z.q, g.edge_w_rot, g.edge_w_t, g.edge_valid)
+
+    t, q = call()
+    _force(t)
     t0 = time.time()
-    refined = pg.refine(g, iterations=10, use_schur=True, separator_stride=8)
-    _force(refined.poses.t)
+    t, q = call()
+    _force(t)
     dt = time.time() - t0
-    after = float(np.sqrt(np.mean(np.sum((np.asarray(refined.poses.t) - gt_t) ** 2, -1))))
-    return {"metric": "config5_schur_refine_ms", "value": round(1e3 * dt, 1), "unit": "ms",
+    after = float(np.sqrt(np.mean(np.sum((np.asarray(t) - gt_t) ** 2, -1))))
+    return {"metric": "config5_distributed_segment_schur_refine_ms",
+            "value": round(1e3 * dt, 1), "unit": "ms",
+            "poses": P_n, "devices": n_dev,
             "ate_before_m": round(before, 3), "ate_after_m": round(after, 3),
             "vs_baseline": None}
 
@@ -192,6 +234,10 @@ def main():
     p.add_argument("--batch", type=int)
     args = p.parse_args()
     if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
         import jax
 
         jax.config.update("jax_platforms", "cpu")

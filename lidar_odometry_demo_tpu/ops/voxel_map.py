@@ -95,8 +95,9 @@ class VoxelMap(NamedTuple):
             uniform key shift (order-preserving) and insertion ends with a
             merge gather by the sorted order of (old keys ++ fresh keys).
     origin: (3,) int32 integer-index origin the keys are relative to.
-    kdim:   (0, K) int32 zero-byte marker carrying max_points statically
-            (the lane layout is not invertible from W alone).
+    kdim:   (1, K) int32 marker carrying max_points statically (the lane
+            layout is not invertible from W alone; one row rather than
+            zero because orbax refuses zero-size arrays).
     """
 
     tab: jax.Array
@@ -212,7 +213,7 @@ def map_init(capacity: int, max_points: int) -> VoxelMap:
     return VoxelMap(
         tab=tab,
         origin=jnp.zeros((3,), jnp.int32),
-        kdim=jnp.zeros((0, max_points), jnp.int32),
+        kdim=jnp.zeros((1, max_points), jnp.int32),
     )
 
 
@@ -375,9 +376,9 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
 
     # dense pointer grid: one scalar scatter (leaders only; one per column)
     dense = jnp.full((_G * _G + 1,), _PTR_EMPTY, jnp.int32)
-    dense = dense.at[jnp.where(leader, cell, _G * _G)].set(
-        jnp.where(leader, iota, _PTR_EMPTY), mode="drop"
-    )
+    dense = dense.at[
+        jnp.where(leader, cell, _G * _G + 1 + iota)  # distinct OOB per row
+    ].set(iota, mode="drop", unique_indices=True)
     # the overflow cell must stay empty (invalid queries point there)
     dense = dense.at[_G * _G].set(_PTR_EMPTY)
 
@@ -531,8 +532,9 @@ def _update_impl(
 
     # which old rows get re-touched (tombstone reuse detection)
     touched = jnp.zeros((C,), bool).at[
-        jnp.where(leader & found, pos_c, C)
-    ].set(True, mode="drop")
+        jnp.where(leader & found, pos_c,
+                  C + jnp.arange(n_in, dtype=jnp.int32))
+    ].set(True, mode="drop", unique_indices=True)
     live = (occupied & ~evicted) | touched
     keys2 = jnp.where(live, keys1, EMPTY_KEY)
     count1 = jnp.where(touched & evicted, 0, count1)  # reused tombstones
@@ -566,8 +568,17 @@ def _update_impl(
     row_off = ext_slot * W
 
     def scat(fl, lane_idx, vals_i32, mask):
-        idx = jnp.where(mask, lane_idx, total)
-        return fl.at[idx.reshape(-1)].set(vals_i32.reshape(-1), mode="drop")
+        # every target lane is written at most once (points/normals land at
+        # distinct (slot, k), per-leader lanes at distinct slots); masked
+        # entries get DISTINCT out-of-bounds indices so the uniqueness
+        # promise holds for them too — declaring uniqueness lets XLA emit
+        # the parallel scatter path instead of serial collision handling
+        flat_idx = lane_idx.reshape(-1)
+        oob = total + jnp.arange(flat_idx.shape[0], dtype=jnp.int32)
+        mask_b = jnp.broadcast_to(mask, lane_idx.shape).reshape(-1)
+        idx = jnp.where(mask_b, flat_idx, oob)
+        return fl.at[idx].set(
+            vals_i32.reshape(-1), mode="drop", unique_indices=True)
 
     # points + normals (3 lanes each, consecutive)
     l3 = jnp.arange(3, dtype=jnp.int32)[None, :]

@@ -72,7 +72,7 @@ def _migrate_v1(z) -> vm.VoxelMap:
     return vm.VoxelMap(
         tab=jnp.asarray(tab),
         origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
-        kdim=jnp.zeros((0, pts.shape[1]), jnp.int32),
+        kdim=jnp.zeros((1, pts.shape[1]), jnp.int32),
     )
 
 
@@ -87,7 +87,7 @@ def _migrate_v2(z) -> vm.VoxelMap:
     return vm.VoxelMap(
         tab=jnp.asarray(tab),
         origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
-        kdim=jnp.zeros((0, pts.shape[1]), jnp.int32),
+        kdim=jnp.zeros((1, pts.shape[1]), jnp.int32),
     )
 
 

@@ -38,3 +38,57 @@ def test_corrupt_checkpoint_rejected(tmp_path):
     np.savez_compressed(str(tmp_path / "bad.npz"), **{"current.t": np.zeros(3)})
     with pytest.raises(ValueError, match="unrecognized checkpoint layout|missing fields"):
         checkpoint.load_npz(str(tmp_path / "bad.npz"))
+
+
+def test_orbax_roundtrip_resumes_identically(tmp_path):
+    """Orbax path (async/multi-host-capable checkpointing): save -> restore
+    -> identical resumed trajectory (the npz test's twin for the orbax
+    backend, previously untested)."""
+    drive = simulate_sequence(num_scans=5, width=900, seed=9, speed=2.5,
+                              yaw_rate=0.05)
+    odo = odometry.LidarOdometry(TEST_CFG)
+    for s in drive.scans[:2]:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, odo.state)
+    for s in drive.scans[2:]:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    expect_t, _ = odo.get_current_pose()
+
+    odo2 = odometry.LidarOdometry(TEST_CFG)
+    odo2.state = checkpoint.load_orbax(path, odometry.init_state(TEST_CFG))
+    for s in drive.scans[2:]:
+        odo2.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    got_t, _ = odo2.get_current_pose()
+    np.testing.assert_array_equal(got_t, expect_t)
+
+
+def test_legacy_v1_checkpoint_migrates(tmp_path):
+    """A round-1-layout npz (keys/count/pts/nrm in key order, no version
+    tag) must load through the migration path into a working state."""
+    from lidar_odometry_demo_tpu.ops import voxel_map as vm
+
+    drive = simulate_sequence(num_scans=3, width=900, seed=9, speed=2.5)
+    odo = odometry.LidarOdometry(TEST_CFG)
+    for s in drive.scans:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    m = odo.state.keyframe
+    legacy = {
+        "keyframe.keys": np.asarray(m.keys),
+        "keyframe.count": np.asarray(m.count),
+        "keyframe.pts": np.asarray(m.pts),
+        "keyframe.nrm": np.asarray(m.nrm),
+        "keyframe.origin": np.asarray(m.origin),
+        "current.t": np.asarray(odo.state.current.t),
+        "current.q": np.asarray(odo.state.current.q),
+        "previous.t": np.asarray(odo.state.previous.t),
+        "previous.q": np.asarray(odo.state.previous.q),
+    }
+    path = str(tmp_path / "legacy.npz")
+    np.savez_compressed(path, **legacy)
+    state = checkpoint.load_npz(path)
+    # migrated map matches the live one where it counts
+    np.testing.assert_array_equal(np.asarray(state.keyframe.keys), np.asarray(m.keys))
+    np.testing.assert_array_equal(np.asarray(state.keyframe.count), np.asarray(m.count))
+    np.testing.assert_array_equal(np.asarray(state.keyframe.pts), np.asarray(m.pts))
+    assert int(vm.map_size(state.keyframe)) == int(vm.map_size(m))
