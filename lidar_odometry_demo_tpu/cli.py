@@ -66,7 +66,9 @@ def _run_stream(cfg, scans_iter, gt=None, out=None, keyframe_out=None, quiet=Fal
                 "matches": int(diag.num_matches),
                 "diverged": bool(diag.diverged),
                 "map_voxels": int(diag.map_voxels),
-            }), file=sys.stderr)
+            } | ({"window_dropped": int(diag.num_window_dropped)}
+                 if diag.num_window_dropped is not None
+                 and int(diag.num_window_dropped) else {})), file=sys.stderr)
     if out:
         trajectory.write_tum(out, stamps, ts, qs)
         print(f"wrote {out} ({len(ts)} poses)")
