@@ -65,6 +65,11 @@ class OdometryConfig:
     # iteration search into linear VPU math (see vm.CandidateSet). Set
     # False for the literal re-search-every-iteration reference semantics.
     icp_cached_candidates: bool = True
+    # Run the per-iteration candidate re-match (distance gate + first-min
+    # + winner select) as a fused Pallas VMEM kernel instead of the XLA
+    # formulation (ops/pallas/correspondence.py). Identical results;
+    # requires max_match_points % 256 == 0 and a TPU backend.
+    icp_use_pallas: bool = False
 
     # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---
     curvature_window: int = 4          # :83

@@ -227,7 +227,7 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None,
             if cfg.icp_cached_candidates:
                 corr = vm.match_candidates(
                     m, cand, query_xyz, gather_valid, pose.t, R,
-                    max_distance=max_dist,
+                    max_distance=max_dist, use_pallas=cfg.icp_use_pallas,
                 )
             else:
                 iter_valid = query_valid

@@ -832,28 +832,43 @@ def _winner_normal(m: VoxelMap, best_slot: jax.Array, best_k: jax.Array):
 
 
 def _select_best(m, cand: CandidateSet, query_local, query_valid,
-                 pose_t, pose_R, max_distance: float) -> Correspondence:
+                 pose_t, pose_R, max_distance: float,
+                 use_pallas: bool = False) -> Correspondence:
     """Nearest candidate under the distance gate at the CURRENT pose.
 
     First minimum in (column scan, z, insertion) order — the cache layout
     is (col, z, k), so one flat argmin reproduces the reference's
-    tie-breaking (voxel_grid.h:175-196).
+    tie-breaking (voxel_grid.h:175-196). With use_pallas, the distance
+    gate + first-min + winner select run as one fused VMEM kernel
+    (ops/pallas/correspondence.py) instead of materializing the (Q, 27K)
+    distance array and argmin intermediates in HBM; results identical.
     """
     Q, _, K, _ = cand.pts.shape
     q_world = query_local @ pose_R.T + pose_t
     max_d2 = np.float32(max_distance * max_distance)
-    diff = cand.pts - q_world[:, None, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)              # (Q, 27, K)
-    d2 = jnp.where(cand.ok & (d2 < max_d2), d2, max_d2)
-    flat = d2.reshape(Q, 27 * K)
-    loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
-    best_d2 = jnp.take_along_axis(flat, loc[:, None], axis=-1)[:, 0]
+    if use_pallas:
+        from lidar_odometry_demo_tpu.ops.pallas.correspondence import (
+            reduce_candidates,
+        )
+
+        plane_origin, loc, best_d2 = reduce_candidates(
+            q_world, cand.pts.reshape(Q, 27 * K, 3),
+            cand.ok.reshape(Q, 27 * K), max_d2=float(max_d2),
+        )
+    else:
+        diff = cand.pts - q_world[:, None, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)              # (Q, 27, K)
+        d2 = jnp.where(cand.ok & (d2 < max_d2), d2, max_d2)
+        flat = d2.reshape(Q, 27 * K)
+        loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
+        best_d2 = jnp.take_along_axis(flat, loc[:, None], axis=-1)[:, 0]
+        flat_pts = cand.pts.reshape(Q, 27 * K, 3)
+        plane_origin = jnp.take_along_axis(
+            flat_pts, loc[:, None, None], axis=1)[:, 0]
     c_idx = loc // K
     k_idx = (loc % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.take_along_axis(cand.slots, c_idx[:, None], axis=-1)[:, 0]
-    flat_pts = cand.pts.reshape(Q, 27 * K, 3)
-    plane_origin = jnp.take_along_axis(flat_pts, loc[:, None, None], axis=1)[:, 0]
     plane_normal = _winner_normal(m, best_slot, k_idx)
     return Correspondence(
         source_local=query_local,
@@ -872,10 +887,11 @@ def match_candidates(
     pose_R: jax.Array,
     *,
     max_distance: float,
+    use_pallas: bool = False,
 ) -> Correspondence:
     """Re-match cached candidates at the current pose (pure streaming)."""
     return _select_best(m, cand, query_local, query_valid, pose_t, pose_R,
-                        max_distance)
+                        max_distance, use_pallas=use_pallas)
 
 
 def find_correspondences_indexed(
