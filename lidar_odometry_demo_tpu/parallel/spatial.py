@@ -205,6 +205,54 @@ def make_spatial_sequence_runner(cfg, mesh, axis: str = "sp"):
     return run
 
 
+def make_batched_spatial_sequence_runner(cfg, mesh, dp_axis: str = "dp",
+                                         sp_axis: str = "sp"):
+    """The full production mesh shape: independent sequences across
+    `dp_axis`, each sequence's keyframe map column-sharded across
+    `sp_axis` with per-scan halo exchange.
+
+    state: pytree with leading (DP, SP, ...) axes
+    (init_batched_spatial_state); scans: (S, DP, ...) — one stacked scan
+    sequence per dp lane, replicated over sp. Returns per-lane final
+    states and (S, DP, ...) diagnostics.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from lidar_odometry_demo_tpu.pipeline import odometry
+
+    step = odometry.make_process_scan(cfg, spatial_axis=sp_axis)
+
+    def local(state_b, scans_b):
+        state = jax.tree.map(lambda x: x[0, 0], state_b)   # my (lane, shard)
+        scans = jax.tree.map(lambda x: x[:, 0], scans_b)   # my lane's scans
+        final, diags = jax.lax.scan(step, state, scans)
+        return (
+            jax.tree.map(lambda x: x[None, None], final),
+            jax.tree.map(lambda x: x[:, None], diags),
+        )
+
+    @jax.jit
+    def run(state_sh, scans_sh):
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(dp_axis, sp_axis), P(None, dp_axis)),
+            out_specs=(P(dp_axis, sp_axis), P(None, dp_axis)),
+            check_vma=False,
+        )
+        return f(state_sh, scans_sh)
+
+    return run
+
+
+def init_batched_spatial_state(cfg, dp: int, sp: int):
+    """(DP, SP, ...) stacked states: dp independent sequences, each map in
+    sp column shards of capacity map_capacity // sp."""
+    one = init_spatial_state(cfg, sp)  # (SP, ...)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (dp, *x.shape)).copy(), one
+    )
+
+
 def init_spatial_state(cfg, n_shards: int):
     """Stacked per-shard odometry states: each device's keyframe shard has
     capacity map_capacity // n_shards (leading axis = shard)."""

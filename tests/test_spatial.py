@@ -206,3 +206,41 @@ def test_spatial_pipeline_tracks_single_device():
     assert total > 100
     assert (sizes < cfg.map_capacity // N).all()
     assert sizes.max() < total  # genuinely distributed, no shard holds all
+
+
+def test_batched_spatial_mesh_runs_two_sequences():
+    """The full production mesh: dp=2 independent sequences x sp=4 map
+    shards on the 8-device fabric. Each dp lane must reproduce its own
+    single-device trajectory while its map lives in 4 column shards."""
+    cfg = TINY
+    n_scans = 4
+    drives = [
+        simulate_sequence(num_scans=n_scans, width=cfg.scan_width, seed=s,
+                          speed=2.0, yaw_rate=0.05)
+        for s in (3, 17)
+    ]
+    lanes = []
+    for d in drives:
+        scans = [
+            scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                            cfg.max_raw_points)
+            for s in d.scans
+        ]
+        lanes.append(jax.tree.map(lambda *xs: jnp.stack(xs), *scans))
+    scans_sh = jax.tree.map(lambda a, b: jnp.stack([a, b], axis=1), *lanes)
+
+    mesh = mesh_lib.make_mesh(dp=2, sp=4)
+    run = spatial.make_batched_spatial_sequence_runner(cfg, mesh)
+    state0 = spatial.init_batched_spatial_state(cfg, dp=2, sp=4)
+    final, diags = run(state0, scans_sh)
+
+    assert np.asarray(diags.num_matches)[-1].min() > 0
+    t_lanes = np.asarray(final.current.t)  # (2, 4, 3)
+    # shards within a lane agree bitwise-ish; lanes differ (different drives)
+    assert np.abs(t_lanes - t_lanes[:, :1]).max() < 1e-6
+    for li, d in enumerate(drives):
+        single = odometry.LidarOdometry(cfg)
+        for s in d.scans:
+            single.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+        t1 = np.asarray(single.state.current.t)
+        assert np.abs(t_lanes[li, 0] - t1).max() < 1e-3, (li, t_lanes[li, 0], t1)
