@@ -823,12 +823,20 @@ def gather_candidates(
 
 
 def _winner_normal(m: VoxelMap, best_slot: jax.Array, best_k: jax.Array):
-    """Stored normal of the winning (slot, k) — one small (Q,) row gather."""
-    K = m.max_points
-    RW, _, _ = _lanes(K)
-    rows = m.tab[best_slot, RW : RW + 3 * K]                  # (Q, 3K) i32
-    nrm = jax.lax.bitcast_convert_type(rows, jnp.float32).reshape(-1, K, 3)
-    return jnp.take_along_axis(nrm, best_k[:, None, None], axis=1)[:, 0]
+    """Stored normal of the winning (slot, k) — one small (Q,) gather.
+
+    Deliberately indexes the derived (C, K, 3) normal view with TWO index
+    arrays (a plain 3-element XLA gather). The obvious alternative —
+    slicing the normal lanes out of the winning tab rows,
+    `m.tab[best_slot, RW:RW+3K]` — lowers on this TPU runtime to a
+    SERIALIZED while loop of one (1, 3K) dynamic-slice per query inside
+    the ICP outer loop (~10 ms/round at Q=8192, measured in the r3 xplane
+    trace: 8192 x rounds dynamic-slice events); the two-index gather runs
+    at full gather throughput. The (C, K, 3) view is loop-invariant
+    (bitcast + reshape of the frozen table), hoisted out of the while loop
+    by XLA.
+    """
+    return m.nrm[best_slot, best_k]
 
 
 def _select_best(m, cand: CandidateSet, query_local, query_valid,

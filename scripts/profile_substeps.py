@@ -86,14 +86,35 @@ def bench(name, fn, *args, iters=N):
 
 print(f"B={B or 1}", file=sys.stderr)
 
-bench("build_search_index", lambda mm: vm.build_search_index(mm).rows64, m)
-bench("rows64 build only",
-      lambda pts, row, cnt: pts.reshape(cfg.map_capacity, -1)[row], m.pts, m.row, m.count)
+# --- front-end ---
+bench("time_norm+deskew", lambda r: preprocess.deskew(
+    preprocess.time_normalize(r), se3.inverse(relative), se3.Pose.identity()).xyz,
+    raw)
+bench("classify", lambda d: classifier.classify(d, cfg)[0].xyz, deskewed)
+bench("downsample match (8k)",
+      lambda p: vm.downsample(p, voxel_size=cfg.keyframe_matching_voxel_size,
+                              budget=cfg.max_match_points).xyz, planar)
+bench("downsample update (16k)",
+      lambda p: vm.downsample(p, voxel_size=cfg.keyframe_update_voxel_size,
+                              budget=cfg.max_update_points).xyz, planar)
+
+# --- search structures ---
+bench("build_search_index", lambda mm: vm.build_search_index(mm).rows3, m)
+bench("  rows3 slice only", lambda t: jnp.concatenate(
+    [t[0:cfg.map_capacity, :64],
+     jnp.concatenate([t, jnp.zeros((2, t.shape[1]), jnp.int32)])[1:cfg.map_capacity+1, :64],
+     jnp.concatenate([t, jnp.zeros((2, t.shape[1]), jnp.int32)])[2:cfg.map_capacity+2, :64]],
+    axis=1), m.tab)
 bench("gather_candidates",
       lambda mm, q, v: vm.gather_candidates(
           mm, vm.build_search_index(mm), q, v, guess.t, Rg,
           voxel_size=cfg.keyframe_voxel_size).pts,
       m, match_ds.xyz, match_ds.valid)
+bench("gather_candidates (prebuilt index)",
+      lambda mm, ix, q, v: vm.gather_candidates(
+          mm, ix, q, v, guess.t, Rg,
+          voxel_size=cfg.keyframe_voxel_size).pts,
+      m, index, match_ds.xyz, match_ds.valid)
 bench("match_candidates",
       lambda mm, cd, q, v: vm.match_candidates(
           mm, cd, q, v, guess.t, Rg,
@@ -109,36 +130,59 @@ def gn(mm, cd, q, v):
 
 
 bench("match + 4 GN steps", gn, m, cand, match_ds.xyz, match_ds.valid)
-bench("map_update",
+
+# --- full align (while loop, realistic exit) ---
+align_fn = icp.make_align(cfg)
+bench("full align (while loop)",
+      lambda mm, ix, q, v: align_fn(mm, q, v, guess, ix).pose.t,
+      m, index, match_ds.xyz, match_ds.valid, iters=5)
+
+# --- map maintenance ---
+bench("map_update (indexed)",
+      lambda mm, ix, nw: vm.map_update(
+          mm, nw, guess.t, voxel_size=cfg.keyframe_voxel_size,
+          radius=cfg.keyframe_cleanup_range, index=ix).keys,
+      m, index, upd_world)
+bench("map_update (searchsorted)",
       lambda mm, nw: vm.map_update(
           mm, nw, guess.t, voxel_size=cfg.keyframe_voxel_size,
           radius=cfg.keyframe_cleanup_range).keys,
       m, upd_world)
 
-# map_update internals
+# map_update internals at current shapes
 new_keys = vm.pack_keys(vm.voxel_indices(upd_world.xyz, cfg.keyframe_voxel_size),
-                        m.origin, upd_world.valid)
+                        m.origin, upd_world.valid, map_window=True)
+keys_ext = jnp.concatenate([m.keys, new_keys])
 bench("  argsort new keys (16k)", lambda k: jnp.argsort(k, stable=True), new_keys)
-bench("  searchsorted 16k in 131k",
-      lambda tk, q: jnp.searchsorted(tk, q).astype(jnp.int32), m.keys, new_keys)
-bench("  argsort table keys (131k)", lambda k: jnp.argsort(k), m.keys)
-bench("  argsort occ bool (131k)", lambda o: jnp.argsort(o, stable=True), m.occ)
+bench("  argsort ext keys (C+16k)", lambda k: jnp.argsort(k), keys_ext)
+tab_ext = jnp.concatenate(
+    [m.tab, jnp.zeros((new_keys.shape[0], m.tab.shape[1]), jnp.int32)])
+order = jnp.argsort(keys_ext)[: cfg.map_capacity]
+bench("  C-row merge gather (W lanes)", lambda t, o: t[o], tab_ext, order)
+bench("  meta rebuild concat", lambda t: jnp.concatenate(
+    [t[:, :60], t[:, 60:61], t[:, 61:128], t[:, 128:129], t[:, 129:130],
+     t[:, 130:]], axis=1), m.tab)
+
+# --- full steady-state step (state threaded through the loop) ---
+step_fn = odometry.make_process_scan(cfg)
 
 
-def permute_small(keys, count, row, anchor, perm):
-    return keys[perm] + count[perm] + row[perm] + jnp.sum(anchor[perm], -1).astype(jnp.int32)
+def full_step_loop(state0, r):
+    def body(i, st):
+        st2, _ = step_fn(st, r)
+        return st2
+    return jax.lax.fori_loop(0, N, body, state0).current.t
 
 
-perm = jnp.argsort(m.keys)
-bench("  permute 4 small arrays", permute_small, m.keys, m.count, m.row, m.anchor, perm)
-
-
-def scatter_payload(pts, nrm, xyz, nrml):
-    n = xyz.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32) % cfg.map_capacity
-    w = jnp.zeros(n, jnp.int32)
-    return pts.at[rows, w].set(xyz, mode="drop")[0, 0, 0]
-
-
-bench("  scatter 16k payload rows", scatter_payload, m.pts, m.nrm,
-      upd_world.xyz, upd_world.normal)
+args = (state, raw)
+if B:
+    args = tuple(maybe_batch(a) for a in args)
+    fsl = jax.jit(jax.vmap(full_step_loop))
+else:
+    fsl = jax.jit(full_step_loop)
+r = fsl(*args); _ = float(jnp.sum(r))
+ts = []
+for _ in range(2):
+    t0 = time.time(); r = fsl(*args); _ = float(jnp.sum(r)); ts.append(time.time() - t0)
+print(f"{'FULL process_scan step':40s} {1e3*min(ts)/N/max(B,1):8.3f} ms/lane",
+      flush=True)
