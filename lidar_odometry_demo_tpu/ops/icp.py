@@ -202,6 +202,10 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None,
                 m, index, query_xyz, gather_valid,
                 guess.t, se3.quat_to_matrix(guess.q), voxel_size=voxel_size,
             )
+            # materialize the (C, K, 3) normal view ONCE per scan; passing
+            # it into the loop keeps the bitcast/layout pass out of every
+            # outer round (vm.match_candidates docstring)
+            nrm_view = m.nrm
 
         def cond(carry):
             pose, i, step_norm, _, _, _, _, stall = carry
@@ -228,6 +232,7 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None,
                 corr = vm.match_candidates(
                     m, cand, query_xyz, gather_valid, pose.t, R,
                     max_distance=max_dist, use_pallas=cfg.icp_use_pallas,
+                    nrm_view=nrm_view,
                 )
             else:
                 iter_valid = query_valid

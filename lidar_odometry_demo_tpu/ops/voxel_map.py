@@ -555,8 +555,7 @@ def _update_impl(
     # fresh region: zero rows with EMPTY key lanes
     fresh = jnp.zeros((n_in, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
     tab_ext = jnp.concatenate([tab_keyed, fresh], axis=0)
-    flat = tab_ext.reshape(-1)
-    total = (C + n_in) * W
+    total_rows = C + n_in
 
     # --- per-element write positions ---
     base = jnp.where(found, count1[pos_c], 0)
@@ -565,29 +564,6 @@ def _update_impl(
     ext_slot = ext_slot[start]
     write_idx = base + rank
     keep = valid_e & (write_idx < K)
-    row_off = ext_slot * W
-
-    def scat(fl, lane_idx, vals_i32, mask):
-        # every target lane is written at most once (points/normals land at
-        # distinct (slot, k), per-leader lanes at distinct slots); masked
-        # entries get DISTINCT out-of-bounds indices so the uniqueness
-        # promise holds for them too — declaring uniqueness lets XLA emit
-        # the parallel scatter path instead of serial collision handling
-        flat_idx = lane_idx.reshape(-1)
-        oob = total + jnp.arange(flat_idx.shape[0], dtype=jnp.int32)
-        mask_b = jnp.broadcast_to(mask, lane_idx.shape).reshape(-1)
-        idx = jnp.where(mask_b, flat_idx, oob)
-        return fl.at[idx].set(
-            vals_i32.reshape(-1), mode="drop", unique_indices=True)
-
-    # points + normals (3 lanes each, consecutive)
-    l3 = jnp.arange(3, dtype=jnp.int32)[None, :]
-    pt_lanes = (row_off + 3 * write_idx)[:, None] + l3
-    nr_lanes = (row_off + RW + 3 * write_idx)[:, None] + l3
-    flat = scat(flat, pt_lanes,
-                jax.lax.bitcast_convert_type(sxyz, jnp.int32), keep[:, None])
-    flat = scat(flat, nr_lanes,
-                jax.lax.bitcast_convert_type(snrm, jnp.int32), keep[:, None])
 
     # per-leader: counts (int + float lanes), fresh keys, anchors
     n = n_in
@@ -601,20 +577,42 @@ def _update_impl(
     nxt_strict = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
     group_size = jnp.where(leader, nxt_strict - jnp.arange(n, dtype=jnp.int32), 0)
     new_count = jnp.minimum(K, base + group_size)
-
-    flat = scat(flat, row_off + MB + 1, new_count, leader)
-    flat = scat(
-        flat, row_off + 3 * K,
-        jax.lax.bitcast_convert_type(new_count.astype(jnp.float32), jnp.int32),
-        leader,
-    )
-    flat = scat(flat, row_off + MB, skeys, leader & ~found)
     anch = leader & (base == 0)
-    an_lanes = (row_off + MB + 2)[:, None] + l3
-    flat = scat(flat, an_lanes,
-                jax.lax.bitcast_convert_type(sxyz, jnp.int32), anch[:, None])
 
-    tab_ext = flat.reshape(C + n_in, W)
+    # ONE fused (row, lane) element scatter for all six write groups —
+    # points, normals, int+float counts, fresh keys, anchors. Every kept
+    # target lane is written at most once (points/normals land at distinct
+    # (slot, k) in disjoint lane ranges, per-leader lanes at distinct
+    # slots); masked entries get DISTINCT out-of-bounds rows so the
+    # uniqueness promise holds for them too — declaring uniqueness lets
+    # XLA emit the parallel scatter path, and fusing the groups makes the
+    # scatter pass over the extended table happen ONCE instead of six
+    # times (each separate scatter was a full-buffer rewrite in the r3
+    # xplane trace: ~0.4 ms/lane each at batch 8). 2-D indices on purpose:
+    # scattering the flattened table forces (C+n, W) <-> flat retiling
+    # copies on TPU.
+    l3 = np.arange(3, dtype=np.int32)[None, :]
+    b3 = lambda v: jnp.broadcast_to(v[:, None], (n, 3))
+    bits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
+    groups = (
+        # (rows, lanes, int32 values, mask)
+        (b3(ext_slot), (3 * write_idx)[:, None] + l3, bits(sxyz), b3(keep)),
+        (b3(ext_slot), (RW + 3 * write_idx)[:, None] + l3, bits(snrm), b3(keep)),
+        (ext_slot, jnp.full((n,), MB + 1, jnp.int32), new_count, leader),
+        (ext_slot, jnp.full((n,), 3 * K, jnp.int32),
+         bits(new_count.astype(jnp.float32)), leader),
+        (ext_slot, jnp.full((n,), MB, jnp.int32), skeys, leader & ~found),
+        (b3(ext_slot), (MB + 2) + jnp.zeros((n, 1), jnp.int32) + l3,
+         bits(sxyz), b3(anch)),
+    )
+    rows_all = jnp.concatenate([g[0].reshape(-1) for g in groups])
+    lanes_all = jnp.concatenate([g[1].reshape(-1) for g in groups])
+    vals_all = jnp.concatenate([g[2].reshape(-1) for g in groups])
+    mask_all = jnp.concatenate([g[3].reshape(-1) for g in groups])
+    oob = total_rows + jnp.arange(rows_all.shape[0], dtype=jnp.int32)
+    rows_all = jnp.where(mask_all, rows_all, oob)
+    tab_ext = tab_ext.at[rows_all, lanes_all].set(
+        vals_all, mode="drop", unique_indices=True)
 
     # --- merge permute: one sort + one C-row gather ---
     fresh_keys = jnp.where(leader & ~found & keep, skeys, EMPTY_KEY)
@@ -716,10 +714,14 @@ def _neighborhood_slots(
     """Slot bases + z-triple structure of each query's 3x3x3 neighborhood.
 
     Returns (base (Q, 9) int32 clamped slot of the first present voxel at
-    z >= z-1 in each column, off (Q, 9, 3) int32 in {0,1,2} position of the
-    z-1/z/z+1 voxel within the triple starting at base, present (Q, 9, 3)
-    bool). The (column, z) order matches the reference's neighbor scan
-    order (voxel_grid.h:175-177).
+    z >= z-1 in each column, n_present (Q, 9) int32 how many of the
+    z-1/z/z+1 voxels exist). The present voxels occupy slots
+    base .. base+n_present-1: within a column the sorted table is in
+    ascending z, so SLOT order equals z order — the triple needs no
+    reordering, just the count mask (the j-th slot of the triple is a real
+    candidate iff j < n_present). The (column, slot) scan order therefore
+    matches the reference's (column, z) neighbor order exactly
+    (voxel_grid.h:175-177).
     """
     C = index.rows3.shape[0]
     Q = q_world.shape[0]
@@ -748,12 +750,9 @@ def _neighborhood_slots(
     p_0 = _zbit(zmask, zq9) & col_ok
     p_p1 = _zbit(zmask, zq9 + 1) & col_ok
     base = jnp.where(col_ok, jnp.minimum(start_c + rank_m1, C - 1), C - 1)
-    i_m1 = jnp.zeros_like(base)
-    i_0 = p_m1.astype(jnp.int32)
-    i_p1 = i_0 + p_0.astype(jnp.int32)
-    off = jnp.stack([i_m1, i_0, i_p1], axis=-1)      # (Q, 9, 3)
-    present = jnp.stack([p_m1, p_0, p_p1], axis=-1)  # (Q, 9, 3)
-    return base, off, present
+    n_present = (p_m1.astype(jnp.int32) + p_0.astype(jnp.int32)
+                 + p_p1.astype(jnp.int32))
+    return base, n_present
 
 
 class CandidateSet(NamedTuple):
@@ -785,23 +784,31 @@ class CandidateSet(NamedTuple):
 
 def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
     """One rows3 gather per query column -> (Q, 27, K, 3) candidates in
-    reference (col, z, insertion) order + validity + table slots."""
+    reference (col, z, insertion) order + validity + table slots.
+
+    The triple stays in SLOT order: within a column the sorted table is
+    ascending in z, so slots base..base+n_present-1 are exactly the
+    present z-1/z/z+1 voxels in z order — no reorder pass (the
+    take_along_axis z-shuffle this replaces cost more than the gather
+    itself in the r3 xplane trace: ~3 ms/lane-scan of layout copies at
+    batch 8). Slot j of a triple is masked unless j < n_present.
+    """
     C = index.rows3.shape[0]
     K = m.max_points
     RW = index.rows3.shape[1] // 3
     Q = q_world.shape[0]
-    base, off, present = _neighborhood_slots(
+    base, n_present = _neighborhood_slots(
         m, index, q_world, query_valid, voxel_size=voxel_size
     )
     r3 = index.rows3[base.reshape(-1)].reshape(Q, 9, 3, RW)  # THE gather
     r3 = jax.lax.bitcast_convert_type(r3, jnp.float32)
-    # reorder slot-triple -> z-order and mask absences
-    rz = jnp.take_along_axis(r3, off[..., None], axis=2)     # (Q, 9, 3, RW)
-    pts = rz[..., : 3 * K].reshape(Q, 27, K, 3)
-    cnt = rz[..., 3 * K].astype(jnp.int32).reshape(Q, 27)
+    pts = r3[..., : 3 * K].reshape(Q, 27, K, 3)
+    cnt = r3[..., 3 * K].astype(jnp.int32).reshape(Q, 27)
+    j3 = np.arange(3, dtype=np.int32)[None, None, :]
+    slot_ok = (j3 < n_present[..., None]).reshape(Q, 27)
     kidx = np.arange(K, dtype=np.int32)[None, None, :]
-    ok = present.reshape(Q, 27)[..., None] & (kidx < cnt[..., None])
-    slots = jnp.minimum(base[..., None] + off, C - 1).reshape(Q, 27)
+    ok = slot_ok[..., None] & (kidx < cnt[..., None])
+    slots = jnp.minimum(base[..., None] + j3, C - 1).reshape(Q, 27)
     return CandidateSet(pts=pts, ok=ok, slots=slots)
 
 
@@ -822,26 +829,20 @@ def gather_candidates(
     )
 
 
-def _winner_normal(m: VoxelMap, best_slot: jax.Array, best_k: jax.Array):
-    """Stored normal of the winning (slot, k) — one small (Q,) gather.
-
-    Deliberately indexes the derived (C, K, 3) normal view with TWO index
-    arrays (a plain 3-element XLA gather). The obvious alternative —
-    slicing the normal lanes out of the winning tab rows,
-    `m.tab[best_slot, RW:RW+3K]` — lowers on this TPU runtime to a
-    SERIALIZED while loop of one (1, 3K) dynamic-slice per query inside
-    the ICP outer loop (~10 ms/round at Q=8192, measured in the r3 xplane
-    trace: 8192 x rounds dynamic-slice events); the two-index gather runs
-    at full gather throughput. The (C, K, 3) view is loop-invariant
-    (bitcast + reshape of the frozen table), hoisted out of the while loop
-    by XLA.
-    """
-    return m.nrm[best_slot, best_k]
+# NOTE on the winner-normal gather in _select_best: it deliberately
+# indexes the derived (C, K, 3) normal view with TWO index arrays (a plain
+# 3-element XLA gather). The obvious alternative — slicing the normal
+# lanes out of the winning tab rows, `m.tab[best_slot, RW:RW+3K]` — lowers
+# on this TPU runtime to a SERIALIZED while loop of one (1, 3K)
+# dynamic-slice per query inside the ICP outer loop (~10 ms/round at
+# Q=8192, measured in the r3 xplane trace: 8192 x rounds dynamic-slice
+# events); the two-index gather runs at full gather throughput.
 
 
 def _select_best(m, cand: CandidateSet, query_local, query_valid,
                  pose_t, pose_R, max_distance: float,
-                 use_pallas: bool = False) -> Correspondence:
+                 use_pallas: bool = False,
+                 nrm_view: jax.Array | None = None) -> Correspondence:
     """Nearest candidate under the distance gate at the CURRENT pose.
 
     First minimum in (column scan, z, insertion) order — the cache layout
@@ -850,6 +851,16 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     gate + first-min + winner select run as one fused VMEM kernel
     (ops/pallas/correspondence.py) instead of materializing the (Q, 27K)
     distance array and argmin intermediates in HBM; results identical.
+
+    This runs once per ICP outer round, so its lowering matters: the
+    winning point is selected by a one-hot einsum over the candidate
+    stream (fuses with the distance pass; a take_along_axis here forces a
+    full layout copy of the (Q, 27K, 3) cache EVERY round — ~0.8 ms/lane
+    at batch 8 in the r3 xplane trace), best_d2 is the masked min (equal
+    by construction to the argmin's value), and the winner normal comes
+    from `nrm_view`, the (C, K, 3) normal view materialized ONCE per scan
+    by the caller (deriving it from the table in here re-runs the
+    bitcast/layout pass every round).
     """
     Q, _, K, _ = cand.pts.shape
     q_world = query_local @ pose_R.T + pose_t
@@ -869,15 +880,18 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         d2 = jnp.where(cand.ok & (d2 < max_d2), d2, max_d2)
         flat = d2.reshape(Q, 27 * K)
         loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
-        best_d2 = jnp.take_along_axis(flat, loc[:, None], axis=-1)[:, 0]
-        flat_pts = cand.pts.reshape(Q, 27 * K, 3)
-        plane_origin = jnp.take_along_axis(
-            flat_pts, loc[:, None, None], axis=1)[:, 0]
+        best_d2 = jnp.min(flat, axis=-1)
+        onehot = (jnp.arange(27 * K, dtype=jnp.int32)[None, :]
+                  == loc[:, None]).astype(cand.pts.dtype)
+        plane_origin = jnp.einsum(
+            "qc,qcd->qd", onehot, cand.pts.reshape(Q, 27 * K, 3))
     c_idx = loc // K
     k_idx = (loc % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.take_along_axis(cand.slots, c_idx[:, None], axis=-1)[:, 0]
-    plane_normal = _winner_normal(m, best_slot, k_idx)
+    if nrm_view is None:
+        nrm_view = m.nrm
+    plane_normal = nrm_view[best_slot, k_idx]
     return Correspondence(
         source_local=query_local,
         plane_origin=jnp.where(valid[:, None], plane_origin, 0.0),
@@ -896,10 +910,17 @@ def match_candidates(
     *,
     max_distance: float,
     use_pallas: bool = False,
+    nrm_view: jax.Array | None = None,
 ) -> Correspondence:
-    """Re-match cached candidates at the current pose (pure streaming)."""
+    """Re-match cached candidates at the current pose (pure streaming).
+
+    `nrm_view`: pass `m.nrm` materialized ONCE outside the ICP loop — the
+    view derivation (bitcast + layout pass over the table) otherwise
+    re-runs every outer round (see _select_best).
+    """
     return _select_best(m, cand, query_local, query_valid, pose_t, pose_R,
-                        max_distance, use_pallas=use_pallas)
+                        max_distance, use_pallas=use_pallas,
+                        nrm_view=nrm_view)
 
 
 def find_correspondences_indexed(
