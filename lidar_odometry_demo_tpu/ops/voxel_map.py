@@ -12,9 +12,9 @@ capacity int32 table sorted by a packed voxel key:
   origin merge (voxel_grid.h:68-75),
 - coords packed into a single int32 key (11/11/9 bits for x/y/z) relative
   to a rebasable integer origin; the radius-evicted map (80 m) always fits,
-- EVERYTHING about a voxel lives in one 136-lane row of a single (C, W)
-  int32 array `tab` — stored points (f32 bitcast), a float copy of the
-  count for the search rows, normals, then key/count/anchor. One array =
+- EVERYTHING about a voxel lives in one 128-lane row (one TPU lane tile) of a single (C, W)
+  int32 array `tab` — stored points (f32 bitcast), the count (stored f32:
+  search rows carry it), normals, then key/anchor. One array =
   one layout: per-scan maintenance is ONE elementwise rebuild pass, a
   handful of small flat element scatters for the incoming points, ONE
   (C+N_in) key sort, and ONE C-row gather that merge-permutes the table
@@ -74,16 +74,23 @@ def _lanes(K: int):
     """Lane layout of one table row for max_points = K.
 
     [0 : 3K)            stored points, f32 bitcast (row-major (K, 3))
-    [3K]                float copy of the count (search rows carry it)
+    [3K]                the count, stored as f32 bitcast (the ONLY count:
+                        search rows carry it, and int consumers convert —
+                        values <= K are exact in f32)
     [RW : RW + 3K)      stored normals, f32 bitcast;  RW = align8(3K + 1)
-    [MB + 0]            packed voxel key (int32)      MB = align8(RW + 3K)
-    [MB + 1]            count (int32)
-    [MB + 2 : MB + 5)   anchor = first stored point, f32 bitcast
-    width W = align8(MB + 5)
+    [MB]                packed voxel key (int32)      MB = RW + 3K
+    [MB + 1 : MB + 4)   anchor = first stored point, f32 bitcast
+    width W = align8(MB + 4)
+
+    For the default K = 20 this is exactly W = 128 — ONE TPU lane tile.
+    The previous layout carried a redundant int32 count lane, making
+    W = 136, which the (8, 128) tiling pads to 256 lanes: every
+    full-table pass (meta rebuild, insert scatter, merge gather) moved
+    1.88x the real bytes. Keep W a multiple of 128 when changing K.
     """
     RW = _align8(3 * K + 1)
-    MB = _align8(RW + 3 * K)
-    W = _align8(MB + 5)
+    MB = RW + 3 * K
+    W = _align8(MB + 4)
     return RW, MB, W
 
 
@@ -119,14 +126,15 @@ class VoxelMap(NamedTuple):
 
     @property
     def count(self) -> jax.Array:
-        _, MB, _ = _lanes(self.max_points)
-        return self.tab[..., MB + 1]
+        K = self.max_points
+        return jax.lax.bitcast_convert_type(
+            self.tab[..., 3 * K], jnp.float32).astype(jnp.int32)
 
     @property
     def anchor(self) -> jax.Array:
         _, MB, _ = _lanes(self.max_points)
         return jax.lax.bitcast_convert_type(
-            self.tab[..., MB + 2 : MB + 5], jnp.float32)
+            self.tab[..., MB + 1 : MB + 4], jnp.float32)
 
     @property
     def pts(self) -> jax.Array:
@@ -547,8 +555,7 @@ def _update_impl(
             cntf1[:, None],
             m.tab[:, 3 * K + 1 : MB],
             keys2[:, None],
-            count1[:, None],
-            m.tab[:, MB + 2 :],
+            m.tab[:, MB + 1 :],
         ],
         axis=1,
     )
@@ -579,8 +586,8 @@ def _update_impl(
     new_count = jnp.minimum(K, base + group_size)
     anch = leader & (base == 0)
 
-    # ONE fused (row, lane) element scatter for all six write groups —
-    # points, normals, int+float counts, fresh keys, anchors. Every kept
+    # ONE fused (row, lane) element scatter for all five write groups —
+    # points, normals, counts, fresh keys, anchors. Every kept
     # target lane is written at most once (points/normals land at distinct
     # (slot, k) in disjoint lane ranges, per-leader lanes at distinct
     # slots); masked entries get DISTINCT out-of-bounds rows so the
@@ -598,11 +605,10 @@ def _update_impl(
         # (rows, lanes, int32 values, mask)
         (b3(ext_slot), (3 * write_idx)[:, None] + l3, bits(sxyz), b3(keep)),
         (b3(ext_slot), (RW + 3 * write_idx)[:, None] + l3, bits(snrm), b3(keep)),
-        (ext_slot, jnp.full((n,), MB + 1, jnp.int32), new_count, leader),
         (ext_slot, jnp.full((n,), 3 * K, jnp.int32),
          bits(new_count.astype(jnp.float32)), leader),
         (ext_slot, jnp.full((n,), MB, jnp.int32), skeys, leader & ~found),
-        (b3(ext_slot), (MB + 2) + jnp.zeros((n, 1), jnp.int32) + l3,
+        (b3(ext_slot), (MB + 1) + jnp.zeros((n, 1), jnp.int32) + l3,
          bits(sxyz), b3(anch)),
     )
     rows_all = jnp.concatenate([g[0].reshape(-1) for g in groups])

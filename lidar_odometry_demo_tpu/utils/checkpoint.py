@@ -29,9 +29,13 @@ _FIELDS = (
 #               payload permuted into key order (no physical indirection)
 #   2           keyframe.{meta,occ,pts,nrm,origin}: sorted logical index over
 #               immutable physical rows
-#   3           keyframe.{tab,origin,kdim}: fused single-array sorted table
+#   3           keyframe.{tab,origin,kdim}: fused single-array sorted table,
+#               136-lane rows (int count lane at MB+1, anchor at MB+2..MB+4)
+#   4           keyframe.{tab,origin,kdim}: fused table, 128-lane rows — the
+#               redundant int count lane dropped (count lives only as the
+#               f32 lane at 3K), key at MB, anchor at MB+1..MB+3
 #               (see vm.VoxelMap / vm._lanes)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def save_npz(path: str, state: OdometryState) -> None:
@@ -49,7 +53,7 @@ def save_npz(path: str, state: OdometryState) -> None:
 
 
 def _assemble_tab(keys, count, pts, nrm, anchor) -> vm.VoxelMap:
-    """Build a v3 fused table from key-ordered columns (host numpy)."""
+    """Build a v4 fused table from key-ordered columns (host numpy)."""
     c, k = pts.shape[0], pts.shape[1]
     rw, mb, w = vm._lanes(k)
     tab = np.zeros((c, w), np.int32)
@@ -57,9 +61,29 @@ def _assemble_tab(keys, count, pts, nrm, anchor) -> vm.VoxelMap:
     tab[:, 3 * k] = count.astype(np.float32).view(np.int32)
     tab[:, rw : rw + 3 * k] = nrm.reshape(c, 3 * k).view(np.int32)
     tab[:, mb] = keys
-    tab[:, mb + 1] = count
-    tab[:, mb + 2 : mb + 5] = anchor.view(np.int32)
+    tab[:, mb + 1 : mb + 4] = anchor.view(np.int32)
     return tab
+
+
+def _migrate_v3(z) -> vm.VoxelMap:
+    """Round-3 136-lane fused table -> v4 128-lane table (drop the int
+    count lane; key and anchor shift down one lane)."""
+    kdim = np.asarray(z["keyframe.kdim"], np.int32)
+    k = kdim.shape[-1]
+    tab_old = np.asarray(z["keyframe.tab"], np.int32)
+    rw = -(-(3 * k + 1) // 8) * 8
+    mb_old = -(-(rw + 3 * k) // 8) * 8  # v3: key, int count, anchor
+    keys = tab_old[:, mb_old]
+    count = tab_old[:, mb_old + 1]
+    pts = tab_old[:, : 3 * k].view(np.float32).reshape(-1, k, 3)
+    nrm = tab_old[:, rw : rw + 3 * k].view(np.float32).reshape(-1, k, 3)
+    anchor = tab_old[:, mb_old + 2 : mb_old + 5].view(np.float32)
+    tab = _assemble_tab(keys, count, pts, nrm, anchor)
+    return vm.VoxelMap(
+        tab=jnp.asarray(tab),
+        origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
+        kdim=jnp.zeros((1, k), jnp.int32),
+    )
 
 
 def _migrate_v1(z) -> vm.VoxelMap:
@@ -101,9 +125,13 @@ def load_npz(path: str) -> OdometryState:
                 f"{int(z['format_version']) if 'format_version' in z else '?'},"
                 f" expected {FORMAT_VERSION})"
             )
-        keyframe = vm.VoxelMap(
-            **{f: jnp.asarray(z["keyframe." + f]) for f in vm.VoxelMap._fields}
-        )
+        k = np.asarray(z["keyframe.kdim"]).shape[-1]
+        if z["keyframe.tab"].shape[-1] != vm._lanes(k)[2]:
+            keyframe = _migrate_v3(z)  # round-3 136-lane layout
+        else:
+            keyframe = vm.VoxelMap(
+                **{f: jnp.asarray(z["keyframe." + f]) for f in vm.VoxelMap._fields}
+            )
     elif "keyframe.meta" in z:
         keyframe = _migrate_v2(z)  # round-2 layout
     elif "keyframe.keys" in z:
