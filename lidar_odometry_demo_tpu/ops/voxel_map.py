@@ -859,8 +859,8 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     distance array and argmin intermediates in HBM; results identical.
 
     This runs once per ICP outer round, so its lowering matters: the
-    winning point is selected by a one-hot einsum over the candidate
-    stream (fuses with the distance pass; a take_along_axis here forces a
+    winning point is selected by an exact elementwise one-hot select over
+    the candidate stream (fuses with the distance pass; a take_along_axis here forces a
     full layout copy of the (Q, 27K, 3) cache EVERY round — ~0.8 ms/lane
     at batch 8 in the r3 xplane trace), best_d2 is the masked min (equal
     by construction to the argmin's value), and the winner normal comes
@@ -887,10 +887,16 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         flat = d2.reshape(Q, 27 * K)
         loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
         best_d2 = jnp.min(flat, axis=-1)
+        # exact elementwise one-hot select (fuses with the distance pass).
+        # NOT an einsum: a float32 dot_general at default precision runs
+        # bfloat16 on the MXU, rounding plane_origin world coordinates to
+        # ~8 mantissa bits — cm-dm point-to-plane residual error growing
+        # with distance from origin (ADVICE r3 #1).
         onehot = (jnp.arange(27 * K, dtype=jnp.int32)[None, :]
-                  == loc[:, None]).astype(cand.pts.dtype)
-        plane_origin = jnp.einsum(
-            "qc,qcd->qd", onehot, cand.pts.reshape(Q, 27 * K, 3))
+                  == loc[:, None])
+        plane_origin = jnp.sum(
+            jnp.where(onehot[..., None], cand.pts.reshape(Q, 27 * K, 3), 0.0),
+            axis=1)
     c_idx = loc // K
     k_idx = (loc % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)

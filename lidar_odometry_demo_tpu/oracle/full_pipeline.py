@@ -137,6 +137,8 @@ class OracleOdometry:
         planar_mask, normals, img, curv = classify_oracle(
             xyz_d, ring, cfg.num_rings, cfg.scan_width,
             cfg.curvature_window, cfg.normals_window, cfg.flatness_threshold,
+            cfg.min_valid_range_sq, cfg.curvature_invalid_value,
+            cfg.neighbor_flatness_factor,
         )
         pts = img[planar_mask]
         nrms = normals[planar_mask]

@@ -78,7 +78,10 @@ class DictVoxelGrid:
 
 def classify_oracle(xyz: np.ndarray, ring: np.ndarray, num_rings: int, width: int,
                     curvature_window: int = 4, normals_window: int = 4,
-                    flatness_threshold: float = 0.05):
+                    flatness_threshold: float = 0.05,
+                    min_valid_range_sq: float = 0.1,
+                    curvature_invalid_value: float = 1000.0,
+                    neighbor_flatness_factor: float = 10.0):
     """CloudClassifier::classify with a *static* image width
     (reference cloud_classifier.h:17-168; the reference's width is the
     dynamic per-scan max ring occupancy — tests feed data where both agree).
@@ -100,11 +103,11 @@ def classify_oracle(xyz: np.ndarray, ring: np.ndarray, num_rings: int, width: in
 
     flat = img.reshape(R * W, 3)
     k = curvature_window
-    curv = np.full(R * W, 1000.0, np.float32)
+    curv = np.full(R * W, curvature_invalid_value, np.float32)
     for i in range(k, R * W - k):
         rng2 = float(np.sum(flat[i] ** 2))
-        if rng2 < 0.1:
-            curv[i] = 1000.0
+        if rng2 < min_valid_range_sq:
+            curv[i] = curvature_invalid_value
             continue
         d = -flat[i] * (2.0 * k + 1.0) + np.sum(flat[i - k:i + k + 1], axis=0)
         curv[i] = np.sqrt(np.sum(d * d)) / rng2
@@ -120,12 +123,12 @@ def classify_oracle(xyz: np.ndarray, ring: np.ndarray, num_rings: int, width: in
             prev = ray - 1
             left = None
             for c in range(col - kn, col):
-                if curv[prev, c] < flatness_threshold * 10.0:
+                if curv[prev, c] < flatness_threshold * neighbor_flatness_factor:
                     left = img[prev, c]
                     break
             right = None
             for c in range(col + kn, col, -1):
-                if curv[prev, c] < flatness_threshold * 10.0:
+                if curv[prev, c] < flatness_threshold * neighbor_flatness_factor:
                     right = img[prev, c]
                     break
             if left is None or right is None:

@@ -43,13 +43,15 @@ def initialize(coordinator_address: str | None = None,
 
 
 def global_mesh(dp: int | None = None, sp: int = 1):
-    """Mesh over all global devices: dp defaults to n_devices // sp."""
-    from jax.sharding import Mesh
+    """Mesh over all global devices: dp defaults to n_devices // sp.
 
-    devs = jax.devices()
+    Thin wrapper over mesh.make_mesh (single construction path; this one
+    only adds the dp default over the *global* device list)."""
+    from lidar_odometry_demo_tpu.parallel import mesh as mesh_lib
+
     if dp is None:
-        dp = len(devs) // sp
-    return Mesh(np.asarray(devs[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+        dp = len(jax.devices()) // sp
+    return mesh_lib.make_mesh(dp=dp, sp=sp)
 
 
 def scaling_report(mesh, scans_per_sec: float, baseline_single: float) -> dict:

@@ -50,7 +50,7 @@ class StepDiagnostics(NamedTuple):
     # vm.pack_keys map_window) — nonzero means the sensor geometry exceeds
     # the VLP16 envelope the window is sized for and map inserts are being
     # dropped (VERDICT r2 weak #5: surfaced, not silent)
-    num_window_dropped: jax.Array = None
+    num_window_dropped: jax.Array | None = None
     deskewed_xyz: jax.Array | None = None  # getTempCloud parity (optional)
 
 

@@ -125,12 +125,28 @@ def load_npz(path: str) -> OdometryState:
                 f"{int(z['format_version']) if 'format_version' in z else '?'},"
                 f" expected {FORMAT_VERSION})"
             )
-        k = np.asarray(z["keyframe.kdim"]).shape[-1]
-        if z["keyframe.tab"].shape[-1] != vm._lanes(k)[2]:
+        # v3 vs v4 MUST branch on the stored format_version: both layouts
+        # yield identical table widths for many max_points values (e.g.
+        # K=5,7,8,10,...), so a width compare silently loads a v3 table
+        # unmigrated with key/anchor read from the wrong lanes (ADVICE r3 #2)
+        version = int(z["format_version"]) if "format_version" in z else 3
+        if version == 3:
             keyframe = _migrate_v3(z)  # round-3 136-lane layout
-        else:
+        elif version == FORMAT_VERSION:
+            k = np.asarray(z["keyframe.kdim"]).shape[-1]
+            if z["keyframe.tab"].shape[-1] != vm._lanes(k)[2]:
+                raise ValueError(
+                    f"v{version} checkpoint table width "
+                    f"{z['keyframe.tab'].shape[-1]} does not match the "
+                    f"K={k} lane layout width {vm._lanes(k)[2]}"
+                )
             keyframe = vm.VoxelMap(
                 **{f: jnp.asarray(z["keyframe." + f]) for f in vm.VoxelMap._fields}
+            )
+        else:
+            raise ValueError(
+                f"unknown checkpoint format_version {version} "
+                f"(this build reads v1-v{FORMAT_VERSION})"
             )
     elif "keyframe.meta" in z:
         keyframe = _migrate_v2(z)  # round-2 layout

@@ -159,9 +159,12 @@ tab_ext = jnp.concatenate(
     [m.tab, jnp.zeros((new_keys.shape[0], m.tab.shape[1]), jnp.int32)])
 order = jnp.argsort(keys_ext)[: cfg.map_capacity]
 bench("  C-row merge gather (W lanes)", lambda t, o: t[o], tab_ext, order)
+# splice points derived from the live lane layout (count at 3K, key at MB)
+_K = cfg.keyframe_max_points_cnt
+_, _MB, _ = vm._lanes(_K)
 bench("  meta rebuild concat", lambda t: jnp.concatenate(
-    [t[:, :60], t[:, 60:61], t[:, 61:128], t[:, 128:129], t[:, 129:130],
-     t[:, 130:]], axis=1), m.tab)
+    [t[:, : 3 * _K], t[:, 3 * _K : 3 * _K + 1], t[:, 3 * _K + 1 : _MB],
+     t[:, _MB : _MB + 1], t[:, _MB + 1 :]], axis=1), m.tab)
 
 # --- full steady-state step (state threaded through the loop) ---
 step_fn = odometry.make_process_scan(cfg)

