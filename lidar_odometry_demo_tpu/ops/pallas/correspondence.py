@@ -1,20 +1,22 @@
-"""Pallas TPU kernel: fused candidate-distance gate + first-min argmin.
+"""Pallas TPU kernel: fused candidate-distance gate + first-min + select.
 
 The correspondence hot loop (reference voxel_grid.h:164-204 — brute-force
 nearest stored point over 27 neighbor voxels under a distance gate) has two
 phases on TPU:
 
 1. lookup + gather: column-directory rank-select and z-triple row gathers —
-   stays in XLA (Mosaic cannot vector-gather from VMEM yet; see
+   stays in XLA (Mosaic cannot vector-gather arbitrary rows from HBM; see
    DESIGN.md "Pallas status"),
 2. reduce: per query, the masked min over 27*K candidate distances and the
    select of the winning point + its (voxel, k) index.
 
-Phase 2 is what this kernel fuses: XLA materializes the (Q, 27*K) distance
-array plus argmin/take_along_axis intermediates in HBM; the kernel streams
-candidate tiles through VMEM and writes only (Q, 3+1+1). It runs once per
-ICP outer iteration against the per-scan candidate cache
-(ops/voxel_map.py CandidateSet), wired behind config.icp_use_pallas.
+Phase 2 is what this kernel fuses, streaming the RAW gathered z-triple
+rows (vm.CandidateSet.rows, int32 (Q, 9, 3*RW) with PLANAR x/y/z lanes —
+see vm._lanes) through VMEM tiles and writing only (Q, 3+1+1). The XLA
+formulation materializes the (Q, 27K) gated-distance array and argmin/
+one-hot intermediates in HBM; the kernel keeps them in VMEM. It runs once
+per ICP outer iteration against the per-scan candidate cache, wired
+behind config.icp_use_pallas.
 
 Numerically identical to the XLA path: first-minimum tie-breaking in
 candidate (col, z, insertion) order, strict `d2 < max_d2` validity
@@ -31,54 +33,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reduce_kernel(qw_ref, cand_ref, ok_ref, out_o_ref, out_i_ref, out_d_ref,
-                   *, n_cand: int, max_d2: float):
-    """One grid step handles a tile of queries.
+def _match_kernel(qw_ref, rows_ref, npres_ref, out_o_ref, out_i_ref,
+                  out_d_ref, *, K: int, RW: int, max_d2: float):
+    """One grid step handles a tile of T queries.
 
-    qw_ref:   (T, 3)            query world positions
-    cand_ref: (T, n_cand, 3)    candidate points
-    ok_ref:   (T, n_cand)       candidate validity (float32 0/1)
-    out_o_ref:(T, 3)            winning candidate point
-    out_i_ref:(T, 1) int32      winning flat candidate index (first min)
-    out_d_ref:(T, 1)            winning gated squared distance
+    qw_ref:    (T, 3) f32        query world positions
+    rows_ref:  (T, 9, 3*RW) i32  raw z-triple candidate rows
+    npres_ref: (T, 9) i32        present voxels per triple
+    out_o_ref: (T, 3) f32        winning candidate point
+    out_i_ref: (T, 1) i32        winning flat (col, z, k) index (first min)
+    out_d_ref: (T, 1) f32        winning gated squared distance
     """
-    qw = qw_ref[:]                       # (T, 3)
-    cand = cand_ref[:]                   # (T, C, 3)
-    ok = ok_ref[:]                       # (T, C)
+    T = qw_ref.shape[0]
+    qw = qw_ref[:]                                       # (T, 3)
+    # lax.bitcast_convert_type (same-width) works in both Mosaic and
+    # interpret mode; pltpu.bitcast is TPU-only
+    r = jax.lax.bitcast_convert_type(
+        rows_ref[:], jnp.float32).reshape(T, 9, 3, RW)
+    x = r[..., 0:K]                                      # planar lane slices
+    y = r[..., K : 2 * K]
+    z = r[..., 2 * K : 3 * K]
+    cnt = r[..., 3 * K]                                  # (T, 9, 3) f32
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (T, 9, 3), 2)
+    kf = jax.lax.broadcasted_iota(jnp.float32, (T, 9, 3, K), 3)
+    ok = (j3 < npres_ref[:][..., None])[..., None] & (kf < cnt[..., None])
+    dx = x - qw[:, 0, None, None, None]
+    dy = y - qw[:, 1, None, None, None]
+    dz = z - qw[:, 2, None, None, None]
+    d2 = dx * dx + dy * dy + dz * dz
+    gated = jnp.where(ok & (d2 < max_d2), d2, max_d2).reshape(T, 27 * K)
 
-    diff = cand - qw[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)   # (T, C)
-    gated = jnp.where((ok > 0.5) & (d2 < max_d2), d2, max_d2)
-
-    best_d = jnp.min(gated, axis=-1, keepdims=True)          # (T, 1)
+    best_d = jnp.min(gated, axis=-1, keepdims=True)      # (T, 1)
     # first minimum in candidate order (matches reference scan order)
-    is_best = gated <= best_d                                  # (T, C)
     cidx = jax.lax.broadcasted_iota(jnp.int32, gated.shape, 1)
-    first = jnp.min(jnp.where(is_best, cidx, n_cand - 1), axis=-1, keepdims=True)
-    pick = cidx == first                                       # (T, C) one-hot
+    first = jnp.min(
+        jnp.where(gated <= best_d, cidx, 27 * K - 1), axis=-1, keepdims=True)
+    pick = (cidx == first).reshape(T, 9, 3, K)           # one-hot
 
-    out_o_ref[:] = jnp.sum(cand * pick[..., None], axis=1)
+    out_o_ref[:] = jnp.stack(
+        [jnp.sum(jnp.where(pick, c, 0.0), axis=(1, 2, 3)) for c in (x, y, z)],
+        axis=-1,
+    )
     out_i_ref[:] = first
     out_d_ref[:] = best_d
 
 
-@functools.partial(jax.jit, static_argnames=("max_d2", "tile", "interpret"))
-def reduce_candidates(q_world, cand_pts, cand_ok, *, max_d2: float,
-                      tile: int = 256, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("max_d2", "max_points", "tile",
+                                             "interpret"))
+def match_rows(q_world, rows, n_present, *, max_d2: float, max_points: int,
+               tile: int = 256, interpret: bool = False):
     """(plane_origin (Q,3), first_idx (Q,) int32, best_d2 (Q,)).
 
-    q_world (Q,3); cand_pts (Q, C, 3); cand_ok (Q, C) bool.
+    q_world (Q,3) f32; rows (Q, 9, 3*RW) int32 raw candidate rows with
+    planar point lanes (vm._lanes); n_present (Q, 9) int32.
     """
-    Q, C = cand_ok.shape
+    Q = q_world.shape[0]
+    RW = rows.shape[-1] // 3
     assert Q % tile == 0, (Q, tile)
-    kern = functools.partial(_reduce_kernel, n_cand=C, max_d2=float(max_d2))
+    kern = functools.partial(_match_kernel, K=max_points, RW=RW,
+                             max_d2=float(max_d2))
     out_o, out_i, out_d = pl.pallas_call(
         kern,
         grid=(Q // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 9, 3 * RW), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -91,5 +112,5 @@ def reduce_candidates(q_world, cand_pts, cand_ok, *, max_d2: float,
             jax.ShapeDtypeStruct((Q, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(q_world, cand_pts, cand_ok.astype(jnp.float32))
+    )(q_world, rows, n_present)
     return out_o, out_i[:, 0], out_d[:, 0]

@@ -73,17 +73,28 @@ def _align8(n: int) -> int:
 def _lanes(K: int):
     """Lane layout of one table row for max_points = K.
 
-    [0 : 3K)            stored points, f32 bitcast (row-major (K, 3))
+    [0 : K)             stored point x coords, f32 bitcast (PLANAR)
+    [K : 2K)            stored point y coords, f32 bitcast
+    [2K : 3K)           stored point z coords, f32 bitcast
     [3K]                the count, stored as f32 bitcast (the ONLY count:
                         search rows carry it, and int consumers convert —
                         values <= K are exact in f32)
-    [RW : RW + 3K)      stored normals, f32 bitcast;  RW = align8(3K + 1)
+    [RW : RW + 3K)      stored normals, f32 bitcast interleaved (x,y,z)
+                        per point;  RW = align8(3K + 1)
     [MB]                packed voxel key (int32)      MB = RW + 3K
     [MB + 1 : MB + 4)   anchor = first stored point, f32 bitcast
     width W = align8(MB + 4)
 
+    Points are PLANAR (xx..yy..zz), not interleaved: the correspondence
+    match then reads each coordinate as a contiguous lane slice of the
+    gathered candidate row — the r3 interleaved layout forced XLA to
+    materialize (Q, 27, K, 3)/(Q, 540, 3) re-tiled copies of the whole
+    candidate cache (~1.9 ms/scan of pure layout churn in the r3 xplane
+    trace, plus 0.12 ms per ICP round). Normals stay interleaved: only
+    the per-query winner is ever read (a 3-element gather).
+
     For the default K = 20 this is exactly W = 128 — ONE TPU lane tile.
-    The previous layout carried a redundant int32 count lane, making
+    An earlier layout carried a redundant int32 count lane, making
     W = 136, which the (8, 128) tiling pads to 256 lanes: every
     full-table pass (meta rebuild, insert scatter, merge gather) moved
     1.88x the real bytes. Keep W a multiple of 128 when changing K.
@@ -139,9 +150,10 @@ class VoxelMap(NamedTuple):
     @property
     def pts(self) -> jax.Array:
         K = self.max_points
-        return jax.lax.bitcast_convert_type(
+        planar = jax.lax.bitcast_convert_type(
             self.tab[..., : 3 * K], jnp.float32
-        ).reshape(*self.tab.shape[:-1], K, 3)
+        ).reshape(*self.tab.shape[:-1], 3, K)
+        return jnp.swapaxes(planar, -1, -2)  # (..., K, 3)
 
     @property
     def nrm(self) -> jax.Array:
@@ -601,9 +613,11 @@ def _update_impl(
     l3 = np.arange(3, dtype=np.int32)[None, :]
     b3 = lambda v: jnp.broadcast_to(v[:, None], (n, 3))
     bits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
+    # planar point lanes: coord c of point k lives at lane c*K + k
+    planar_l = np.arange(3, dtype=np.int32)[None, :] * np.int32(K)
     groups = (
         # (rows, lanes, int32 values, mask)
-        (b3(ext_slot), (3 * write_idx)[:, None] + l3, bits(sxyz), b3(keep)),
+        (b3(ext_slot), write_idx[:, None] + planar_l, bits(sxyz), b3(keep)),
         (b3(ext_slot), (RW + 3 * write_idx)[:, None] + l3, bits(snrm), b3(keep)),
         (ext_slot, jnp.full((n,), 3 * K, jnp.int32),
          bits(new_count.astype(jnp.float32)), leader),
@@ -778,19 +792,28 @@ class CandidateSet(NamedTuple):
     tests/test_voxel_map.py::test_cached_candidates_match_exact_search and
     trajectory-level vs the oracle in tests/test_oracle_equivalence.py).
 
-    pts:   (Q, 27, K, 3) candidate points, (col, z) in reference scan order
-    ok:    (Q, 27, K)    candidate validity (present voxel, k < count)
-    slots: (Q, 27)       sorted-table slot per candidate voxel
+    The cache IS the raw gathered z-triple rows, in the gather's native
+    int32 (Q*9, 3*RW) layout — no unpacking. Every per-round consumer
+    slices the planar coordinate lanes directly (see _lanes); converting
+    to a (Q, 27, K, 3) point tensor here cost ~1.9 ms/scan of re-tiling
+    copies in the r3 xplane trace.
+
+    rows:      (Q, 9, 3*RW) int32 raw candidate rows, (col, z) in
+               reference scan order within each row triple
+    base:      (Q, 9)  clamped table slot of each column's first present
+               voxel at z >= z_query - 1
+    n_present: (Q, 9)  how many of the z-1/z/z+1 voxels exist (slot j of
+               a triple is a real candidate iff j < n_present)
     """
 
-    pts: jax.Array
-    ok: jax.Array
-    slots: jax.Array
+    rows: jax.Array
+    base: jax.Array
+    n_present: jax.Array
 
 
 def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
-    """One rows3 gather per query column -> (Q, 27, K, 3) candidates in
-    reference (col, z, insertion) order + validity + table slots.
+    """One rows3 gather per query column -> raw (Q, 9, 3*RW) candidate
+    rows in reference (col, z, insertion) order + triple structure.
 
     The triple stays in SLOT order: within a column the sorted table is
     ascending in z, so slots base..base+n_present-1 are exactly the
@@ -799,23 +822,13 @@ def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
     itself in the r3 xplane trace: ~3 ms/lane-scan of layout copies at
     batch 8). Slot j of a triple is masked unless j < n_present.
     """
-    C = index.rows3.shape[0]
-    K = m.max_points
-    RW = index.rows3.shape[1] // 3
+    RW3 = index.rows3.shape[1]
     Q = q_world.shape[0]
     base, n_present = _neighborhood_slots(
         m, index, q_world, query_valid, voxel_size=voxel_size
     )
-    r3 = index.rows3[base.reshape(-1)].reshape(Q, 9, 3, RW)  # THE gather
-    r3 = jax.lax.bitcast_convert_type(r3, jnp.float32)
-    pts = r3[..., : 3 * K].reshape(Q, 27, K, 3)
-    cnt = r3[..., 3 * K].astype(jnp.int32).reshape(Q, 27)
-    j3 = np.arange(3, dtype=np.int32)[None, None, :]
-    slot_ok = (j3 < n_present[..., None]).reshape(Q, 27)
-    kidx = np.arange(K, dtype=np.int32)[None, None, :]
-    ok = slot_ok[..., None] & (kidx < cnt[..., None])
-    slots = jnp.minimum(base[..., None] + j3, C - 1).reshape(Q, 27)
-    return CandidateSet(pts=pts, ok=ok, slots=slots)
+    rows = index.rows3[base.reshape(-1)].reshape(Q, 9, RW3)  # THE gather
+    return CandidateSet(rows=rows, base=base, n_present=n_present)
 
 
 def gather_candidates(
@@ -851,56 +864,72 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
                  nrm_view: jax.Array | None = None) -> Correspondence:
     """Nearest candidate under the distance gate at the CURRENT pose.
 
-    First minimum in (column scan, z, insertion) order — the cache layout
-    is (col, z, k), so one flat argmin reproduces the reference's
+    First minimum in (column scan, z, insertion) order — candidates are
+    laid out (col, z, k), so one flat argmin reproduces the reference's
     tie-breaking (voxel_grid.h:175-196). With use_pallas, the distance
     gate + first-min + winner select run as one fused VMEM kernel
-    (ops/pallas/correspondence.py) instead of materializing the (Q, 27K)
-    distance array and argmin intermediates in HBM; results identical.
+    (ops/pallas/correspondence.py) streaming the raw candidate rows;
+    results identical.
 
     This runs once per ICP outer round, so its lowering matters: the
-    winning point is selected by an exact elementwise one-hot select over
-    the candidate stream (fuses with the distance pass; a take_along_axis here forces a
-    full layout copy of the (Q, 27K, 3) cache EVERY round — ~0.8 ms/lane
-    at batch 8 in the r3 xplane trace), best_d2 is the masked min (equal
-    by construction to the argmin's value), and the winner normal comes
-    from `nrm_view`, the (C, K, 3) normal view materialized ONCE per scan
-    by the caller (deriving it from the table in here re-runs the
-    bitcast/layout pass every round).
+    candidate coordinates are read as contiguous PLANAR lane slices of
+    the raw cached rows (see _lanes — no (Q, 27K, 3) re-tiling copies),
+    the winning point is selected by an exact elementwise one-hot select
+    over the same stream (NOT an einsum: a float32 dot_general at default
+    precision runs bfloat16 on the MXU, rounding plane_origin world
+    coordinates to ~8 mantissa bits — ADVICE r3 #1), best_d2 is the
+    masked min (equal by construction to the argmin's value), and the
+    winner normal comes from `nrm_view`, the (C, K, 3) normal view
+    materialized ONCE per scan by the caller (deriving it from the table
+    in here re-runs the bitcast/layout pass every round).
     """
-    Q, _, K, _ = cand.pts.shape
+    Q = cand.rows.shape[0]
+    K = m.max_points
+    RW = cand.rows.shape[-1] // 3
+    C = m.capacity
     q_world = query_local @ pose_R.T + pose_t
     max_d2 = np.float32(max_distance * max_distance)
     if use_pallas:
         from lidar_odometry_demo_tpu.ops.pallas.correspondence import (
-            reduce_candidates,
+            match_rows,
         )
 
-        plane_origin, loc, best_d2 = reduce_candidates(
-            q_world, cand.pts.reshape(Q, 27 * K, 3),
-            cand.ok.reshape(Q, 27 * K), max_d2=float(max_d2),
+        plane_origin, loc, best_d2 = match_rows(
+            q_world, cand.rows, cand.n_present, max_d2=float(max_d2),
+            max_points=K,
         )
     else:
-        diff = cand.pts - q_world[:, None, None, :]
-        d2 = jnp.sum(diff * diff, axis=-1)              # (Q, 27, K)
-        d2 = jnp.where(cand.ok & (d2 < max_d2), d2, max_d2)
+        r = jax.lax.bitcast_convert_type(
+            cand.rows, jnp.float32).reshape(Q, 9, 3, RW)
+        x = r[..., 0:K]                  # (Q, 9, 3, K) planar lane slices
+        y = r[..., K : 2 * K]
+        z = r[..., 2 * K : 3 * K]
+        cnt = r[..., 3 * K]              # (Q, 9, 3) f32 counts
+        j3 = np.arange(3, dtype=np.int32)[None, None, :]
+        kf = np.arange(K, dtype=np.float32)[None, None, None, :]
+        ok = ((j3 < cand.n_present[..., None])[..., None]
+              & (kf < cnt[..., None]))
+        dx = x - q_world[:, 0, None, None, None]
+        dy = y - q_world[:, 1, None, None, None]
+        dz = z - q_world[:, 2, None, None, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
         flat = d2.reshape(Q, 27 * K)
         loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
         best_d2 = jnp.min(flat, axis=-1)
-        # exact elementwise one-hot select (fuses with the distance pass).
-        # NOT an einsum: a float32 dot_general at default precision runs
-        # bfloat16 on the MXU, rounding plane_origin world coordinates to
-        # ~8 mantissa bits — cm-dm point-to-plane residual error growing
-        # with distance from origin (ADVICE r3 #1).
         onehot = (jnp.arange(27 * K, dtype=jnp.int32)[None, :]
-                  == loc[:, None])
-        plane_origin = jnp.sum(
-            jnp.where(onehot[..., None], cand.pts.reshape(Q, 27 * K, 3), 0.0),
-            axis=1)
+                  == loc[:, None]).reshape(Q, 9, 3, K)
+        plane_origin = jnp.stack(
+            [jnp.sum(jnp.where(onehot, c, 0.0), axis=(1, 2, 3))
+             for c in (x, y, z)], axis=-1)
     c_idx = loc // K
     k_idx = (loc % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
-    best_slot = jnp.take_along_axis(cand.slots, c_idx[:, None], axis=-1)[:, 0]
+    best_slot = jnp.minimum(
+        jnp.take_along_axis(cand.base, (c_idx // 3)[:, None], axis=-1)[:, 0]
+        + c_idx % 3,
+        C - 1,
+    )
     if nrm_view is None:
         nrm_view = m.nrm
     plane_normal = nrm_view[best_slot, k_idx]

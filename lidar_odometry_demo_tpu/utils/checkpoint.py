@@ -33,9 +33,12 @@ _FIELDS = (
 #               136-lane rows (int count lane at MB+1, anchor at MB+2..MB+4)
 #   4           keyframe.{tab,origin,kdim}: fused table, 128-lane rows — the
 #               redundant int count lane dropped (count lives only as the
-#               f32 lane at 3K), key at MB, anchor at MB+1..MB+3
+#               f32 lane at 3K), key at MB, anchor at MB+1..MB+3;
+#               point lanes interleaved xyzxyz
+#   5           as v4 but point lanes PLANAR (xx..yy..zz) so the match
+#               path reads coordinates as contiguous lane slices
 #               (see vm.VoxelMap / vm._lanes)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 
 def save_npz(path: str, state: OdometryState) -> None:
@@ -53,11 +56,13 @@ def save_npz(path: str, state: OdometryState) -> None:
 
 
 def _assemble_tab(keys, count, pts, nrm, anchor) -> vm.VoxelMap:
-    """Build a v4 fused table from key-ordered columns (host numpy)."""
+    """Build a v5 fused table from key-ordered columns (host numpy).
+
+    pts (c, k, 3) interleaved in -> planar x/y/z lane blocks."""
     c, k = pts.shape[0], pts.shape[1]
     rw, mb, w = vm._lanes(k)
     tab = np.zeros((c, w), np.int32)
-    tab[:, : 3 * k] = pts.reshape(c, 3 * k).view(np.int32)
+    tab[:, : 3 * k] = np.swapaxes(pts, 1, 2).reshape(c, 3 * k).view(np.int32)
     tab[:, 3 * k] = count.astype(np.float32).view(np.int32)
     tab[:, rw : rw + 3 * k] = nrm.reshape(c, 3 * k).view(np.int32)
     tab[:, mb] = keys
@@ -79,6 +84,21 @@ def _migrate_v3(z) -> vm.VoxelMap:
     nrm = tab_old[:, rw : rw + 3 * k].view(np.float32).reshape(-1, k, 3)
     anchor = tab_old[:, mb_old + 2 : mb_old + 5].view(np.float32)
     tab = _assemble_tab(keys, count, pts, nrm, anchor)
+    return vm.VoxelMap(
+        tab=jnp.asarray(tab),
+        origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
+        kdim=jnp.zeros((1, k), jnp.int32),
+    )
+
+
+def _migrate_v4(z) -> vm.VoxelMap:
+    """Round-4 interleaved-point 128-lane table -> v5 planar point lanes
+    (same widths for every K; only lanes [0:3K) reorder)."""
+    kdim = np.asarray(z["keyframe.kdim"], np.int32)
+    k = kdim.shape[-1]
+    tab = np.asarray(z["keyframe.tab"], np.int32).copy()
+    pts_il = tab[:, : 3 * k].view(np.float32).reshape(-1, k, 3)
+    tab[:, : 3 * k] = np.swapaxes(pts_il, 1, 2).reshape(-1, 3 * k).view(np.int32)
     return vm.VoxelMap(
         tab=jnp.asarray(tab),
         origin=jnp.asarray(z["keyframe.origin"], jnp.int32),
@@ -132,6 +152,8 @@ def load_npz(path: str) -> OdometryState:
         version = int(z["format_version"]) if "format_version" in z else 3
         if version == 3:
             keyframe = _migrate_v3(z)  # round-3 136-lane layout
+        elif version == 4:
+            keyframe = _migrate_v4(z)  # interleaved -> planar point lanes
         elif version == FORMAT_VERSION:
             k = np.asarray(z["keyframe.kdim"]).shape[-1]
             if z["keyframe.tab"].shape[-1] != vm._lanes(k)[2]:

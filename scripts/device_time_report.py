@@ -1,0 +1,217 @@
+"""Per-stage DEVICE-TIME accounting of one odometry scan (the roofline
+artifact — VERDICT r3 next-round #1).
+
+Captures an xplane trace of the steady-state single-lane sequence runner,
+classifies every XLA leaf op into a pipeline stage by its shape signature
+(signatures derived from the live config, so they track shape changes),
+and writes benchmarks/DEVICE_TIME_r04.json + benchmarks/DEVICE_TIME.md
+with measured roofline context (gather rows/s + HBM stream bandwidth
+microbenches on the same chip).
+
+Usage: python scripts/device_time_report.py [n_scans] [--json-only]
+"""
+
+import glob
+import json
+import os
+import re
+import shutil
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidar_odometry_demo_tpu.config import OdometryConfig
+from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+from lidar_odometry_demo_tpu.ops import voxel_map as vm
+from lidar_odometry_demo_tpu.pipeline import odometry
+
+N_WARM = 10   # scans to build a realistic steady-state map first
+N = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
+
+cfg = OdometryConfig()
+C = cfg.map_capacity
+Q = cfg.max_match_points
+K = cfg.keyframe_max_points_cnt
+RW, MB, W = vm._lanes(K)
+G2 = vm._G * vm._G
+NIN = cfg.max_update_points
+RAW = cfg.max_raw_points
+IMG = cfg.num_rings * cfg.scan_width
+
+
+def classify_op(name: str) -> str:
+    """Stage bucket from the HLO instruction name's shape signatures."""
+    if name.startswith(("%while", "%cond", "%call", "%conditional")):
+        return "_control"  # wrapper events double-count their bodies
+    # ICP inner loop shapes: per-round streams over the candidate cache
+    if re.search(rf"\b{Q},(540|27,{K}|9,3,{K})\b|\b{Q},54\b", name):
+        return "icp_rounds(match+GN)"
+    if re.search(rf"\b{Q},9,3\b|\b{Q}ic,9\b|\b{Q},27\b", name):
+        return "candidate_gather"
+    if re.search(rf"\b{Q * 9},{3 * RW}\b|\b{Q * 9}\b", name):
+        return "candidate_gather"
+    if re.search(rf"\b{G2}\b|\b{G2 + 1}\b", name):
+        return "search_index(dense_dir)"
+    if re.search(rf"\b{C},{3 * RW}\b", name):
+        return "search_index(rows3)"
+    if re.search(rf"\b{C * W}\b|\b{(C + NIN) * W}\b", name):
+        return "map_update(insert_scatter)"
+    if re.search(rf"\b{C + NIN}\b|\b{C + NIN},{W}\b", name):
+        return "map_update(merge)"
+    if re.search(rf"\b{C},{W}\b", name):
+        return "map_update(table_pass)"
+    if re.search(rf"\b{NIN},8\b|\b{NIN},{W}\b", name):
+        return "map_update(incoming)"
+    if re.search(rf"\b{C},{RW // 8 if RW % 8 == 0 else RW}\b|\b{C},8\b|\b{C},64\b", name):
+        return "search_index(desc)"
+    if re.search(rf"\b{C}\b|\b{C - 1}\b|\b{C + 1}\b", name):
+        return "map_scalar_pass(C)"
+    if re.search(rf"\b{RAW}\b|\b{IMG}\b|\b{IMG + 1}\b|\b{cfg.num_rings},{cfg.scan_width}\b", name):
+        return "frontend(deskew+classify)"
+    if re.search(rf"\b{cfg.max_planar_points}\b|\b{NIN}\b|\b{Q}\b", name):
+        return "frontend(downsample)+small_icp"
+    return "other"
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    log("simulating...")
+    drive = simulate_sequence(num_scans=N_WARM + N, width=cfg.scan_width,
+                              seed=1, speed=5.0, yaw_rate=0.08)
+    scans = [scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                             cfg.max_raw_points) for s in drive.scans]
+    warm = jax.tree.map(lambda *xs: jnp.stack(xs), *scans[:N_WARM])
+    rest = jax.tree.map(lambda *xs: jnp.stack(xs), *scans[N_WARM:])
+    run = odometry.make_sequence_runner(cfg)
+    log("warm compile+run...")
+    state, _ = run(odometry.init_state(cfg), warm)
+    _ = float(jnp.sum(state.current.t))
+    log("steady compile+run...")
+    state, diags = run(state, rest)  # compile for the traced shapes
+    _ = float(jnp.sum(state.current.t))
+    log("steady done")
+    occupancy = int(vm.map_size(state.keyframe))
+    icp_iters = [int(x) for x in np.asarray(diags.icp_iterations)]
+
+    # wall-clock of the traced region (same barrier discipline as bench.py)
+    t0 = time.time()
+    state2, _ = run(state, rest)
+    _ = float(jnp.sum(state2.current.t)) + float(jnp.sum(state2.keyframe.count))
+    wall_ms_per_scan = (time.time() - t0) * 1e3 / N
+
+    log(f"wall {wall_ms_per_scan:.1f} ms/scan; tracing...")
+    shutil.rmtree("/tmp/jaxtrace_dtr", ignore_errors=True)
+    with jax.profiler.trace("/tmp/jaxtrace_dtr"):
+        state2, _ = run(state, rest)
+        _ = float(jnp.sum(state2.current.t)) + float(jnp.sum(state2.keyframe.count))
+
+    # --- roofline microbenches on the same chip ---
+    def timed(fn, *args, reps=3):
+        r = fn(*args); _ = float(jnp.sum(r))
+        ts = []
+        for _i in range(reps):
+            t0 = time.time(); r = fn(*args); _ = float(jnp.sum(r))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    # gather roofline at the candidate-gather shape, amortized over 20 its
+    rows = jnp.zeros((C, 3 * RW), jnp.int32)
+    idx = jnp.asarray(np.random.default_rng(0).integers(0, C, Q * 9), jnp.int32)
+
+    @jax.jit
+    def g20(rows, idx):
+        def body(i, acc):
+            return acc + jnp.float32(jnp.sum(rows[idx + i, :1]))
+        return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+
+    log("trace captured; microbenches...")
+    t_gather = timed(g20, rows, idx) / 20
+    gather_rows_per_s = Q * 9 / t_gather
+
+    # HBM stream bandwidth: big copy (read+write)
+    big = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
+
+    @jax.jit
+    def c4(x):
+        def body(i, acc):
+            return acc + jnp.sum(x * (1.0 + jnp.float32(i)))
+        return jax.lax.fori_loop(0, 4, body, jnp.float32(0))
+
+    t_copy = timed(c4, big) / 4
+    hbm_gb_per_s = big.size * 4 / t_copy / 1e9  # read-only stream
+
+    log("parsing xplane...")
+    # --- parse xplane ---
+    pb = glob.glob("/tmp/jaxtrace_dtr/**/*.xplane.pb", recursive=True)[0]
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs_ = xplane_pb2.XSpace()
+    xs_.ParseFromString(open(pb, "rb").read())
+    stage_ms = defaultdict(float)
+    top_ops = defaultdict(float)
+    total_leaf = 0.0
+    for p in xs_.planes:
+        if not p.name.endswith("TPU:0"):
+            continue
+        em = p.event_metadata
+        for l in p.lines:
+            if l.name != "XLA Ops":
+                continue
+            for e in l.events:
+                name = em[e.metadata_id].name
+                ms = e.duration_ps / 1e9 / N
+                stage = classify_op(name)
+                stage_ms[stage] += ms
+                if stage != "_control":
+                    total_leaf += ms
+                    top_ops[(stage, name[:110])] += ms
+
+    stages = {k: round(v, 3) for k, v in
+              sorted(stage_ms.items(), key=lambda kv: -kv[1]) if k != "_control"}
+    report = {
+        "round": 4,
+        "config": {"map_capacity": C, "max_match_points": Q,
+                   "max_update_points": NIN, "scan_width": cfg.scan_width,
+                   "keyframe_max_points_cnt": K, "row_lanes": W},
+        "n_scans_traced": N,
+        "map_occupancy_voxels": occupancy,
+        "icp_outer_iterations_per_scan": icp_iters,
+        "wall_ms_per_scan": round(wall_ms_per_scan, 2),
+        "device_busy_ms_per_scan": round(total_leaf, 2),
+        "stage_ms_per_scan": stages,
+        "roofline": {
+            "gather_rows_per_s": round(gather_rows_per_s / 1e6, 1),
+            "gather_rows_per_s_unit": "M rows/s (random (Q*9)-row gather from (C,192) i32)",
+            "candidate_gather_floor_ms": round(Q * 9 / gather_rows_per_s * 1e3, 3),
+            "hbm_stream_gb_per_s": round(hbm_gb_per_s, 0),
+            "table_full_pass_floor_ms": round(C * W * 4 / (hbm_gb_per_s * 1e9) * 1e3, 3),
+            "match_round_stream_floor_ms": round(
+                Q * 9 * 3 * RW * 4 / (hbm_gb_per_s * 1e9) * 1e3, 3),
+        },
+        "top_ops_ms_per_scan": [
+            {"stage": s, "ms": round(v, 3), "op": n}
+            for (s, n), v in sorted(top_ops.items(), key=lambda kv: -kv[1])[:25]
+        ],
+    }
+    out_json = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "DEVICE_TIME_r04.json")
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k != "top_ops_ms_per_scan"}, indent=1))
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

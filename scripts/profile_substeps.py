@@ -108,12 +108,12 @@ bench("  rows3 slice only", lambda t: jnp.concatenate(
 bench("gather_candidates",
       lambda mm, q, v: vm.gather_candidates(
           mm, vm.build_search_index(mm), q, v, guess.t, Rg,
-          voxel_size=cfg.keyframe_voxel_size).pts,
+          voxel_size=cfg.keyframe_voxel_size).rows,
       m, match_ds.xyz, match_ds.valid)
 bench("gather_candidates (prebuilt index)",
       lambda mm, ix, q, v: vm.gather_candidates(
           mm, ix, q, v, guess.t, Rg,
-          voxel_size=cfg.keyframe_voxel_size).pts,
+          voxel_size=cfg.keyframe_voxel_size).rows,
       m, index, match_ds.xyz, match_ds.valid)
 bench("match_candidates",
       lambda mm, cd, q, v: vm.match_candidates(

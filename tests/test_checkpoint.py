@@ -160,3 +160,40 @@ def test_unknown_format_version_rejected(tmp_path):
     np.savez_compressed(path, **z)
     with pytest.raises(ValueError, match="unknown checkpoint format_version"):
         checkpoint.load_npz(path)
+
+
+def test_legacy_v4_checkpoint_migrates(tmp_path):
+    """A round-4 interleaved-point 128-lane npz (format_version=4) must
+    migrate into the v5 planar-lane layout; widths are identical for every
+    K so only the version tag distinguishes them."""
+    from lidar_odometry_demo_tpu.ops import voxel_map as vm
+
+    drive = simulate_sequence(num_scans=3, width=900, seed=9, speed=2.5)
+    odo = odometry.LidarOdometry(TEST_CFG)
+    for s in drive.scans:
+        odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
+    m = odo.state.keyframe
+    k = m.max_points
+    c = m.capacity
+
+    # build the v4 table: same lanes as v5 but points interleaved xyzxyz
+    tab4 = np.asarray(m.tab).copy()
+    pts = np.asarray(m.pts)  # (c, k, 3)
+    tab4[:, : 3 * k] = pts.reshape(c, 3 * k).view(np.int32)
+
+    v4 = {
+        "keyframe.tab": tab4,
+        "keyframe.origin": np.asarray(m.origin),
+        "keyframe.kdim": np.zeros((1, k), np.int32),
+        "current.t": np.asarray(odo.state.current.t),
+        "current.q": np.asarray(odo.state.current.q),
+        "previous.t": np.asarray(odo.state.previous.t),
+        "previous.q": np.asarray(odo.state.previous.q),
+        "format_version": np.int32(4),
+    }
+    path = str(tmp_path / "v4.npz")
+    np.savez_compressed(path, **v4)
+    state = checkpoint.load_npz(path)
+    kf = state.keyframe
+    np.testing.assert_array_equal(np.asarray(kf.tab), np.asarray(m.tab))
+    np.testing.assert_array_equal(np.asarray(kf.pts), pts)
