@@ -180,6 +180,51 @@ def cmd_fleet(args):
         print(f"  lane {b}: {out}  aligned ATE {ate:.3f} m")
 
 
+def cmd_live(args):
+    """Online odometry from live VLP16 UDP packets — the analogue of the
+    reference's per-message ROS loop (lidar_odometry_node.cpp:45-108)."""
+    import json as _json
+
+    from lidar_odometry_demo_tpu.io import live, trajectory
+    from lidar_odometry_demo_tpu.pipeline.odometry import LidarOdometry
+    from lidar_odometry_demo_tpu.utils.profiling import ScanRateCounter
+
+    cfg = _load_config(args)
+    odo = LidarOdometry(cfg)
+    rate = ScanRateCounter()
+    stamps, ts, qs = [], [], []
+
+    def on_scan(i, t, diag):
+        _, q = odo.get_current_pose()
+        stamps.append(i * 0.1)
+        ts.append(t)
+        qs.append(q)
+        if not args.quiet:
+            print(_json.dumps({
+                "scan": i,
+                "t": [round(float(x), 4) for x in t],
+                "scans_per_sec": round(rate.tick(), 2),
+                "icp_iterations": int(diag.icp_iterations),
+                "matches": int(diag.num_matches),
+                "diverged": bool(diag.diverged),
+                "map_voxels": int(diag.map_voxels),
+            }), file=sys.stderr)
+        if args.out and (i + 1) % 10 == 0:  # incremental trajectory flush
+            trajectory.write_tum(args.out, stamps, ts, qs)
+
+    print(f"listening on udp://{args.host}:{args.port} "
+          f"(idle timeout {args.idle_timeout}s)", file=sys.stderr)
+    n = live.run_live(
+        odo,
+        live.udp_packets(args.host, args.port, timeout_s=args.idle_timeout),
+        on_scan=on_scan, max_scans=args.max_scans,
+    )
+    if args.out and ts:
+        trajectory.write_tum(args.out, stamps, ts, qs)
+        print(f"wrote {args.out} ({len(ts)} poses)")
+    print(f"processed {n} scans", file=sys.stderr)
+
+
 def cmd_refine(args):
     from lidar_odometry_demo_tpu.io import trajectory
     from lidar_odometry_demo_tpu.parallel import pose_graph as pg
@@ -222,6 +267,16 @@ def main(argv=None):
     pf.add_argument("--sp", type=int, default=1)
     pf.add_argument("--out-prefix", default="fleet_")
     pf.set_defaults(fn=cmd_fleet)
+
+    pl = sub.add_parser("live", help="online odometry from live VLP16 UDP packets")
+    pl.add_argument("--host", default="0.0.0.0")
+    pl.add_argument("--port", type=int, default=2368)  # VLP16 data port
+    pl.add_argument("--out", default="live_trajectory.tum")
+    pl.add_argument("--idle-timeout", type=float, default=10.0,
+                    help="stop after this many seconds without packets")
+    pl.add_argument("--max-scans", type=int, default=None)
+    pl.add_argument("--quiet", action="store_true")
+    pl.set_defaults(fn=cmd_live)
 
     pr = sub.add_parser("refine", help="pose-graph refine a TUM trajectory")
     pr.add_argument("traj")

@@ -68,7 +68,7 @@ def scaling_report(mesh, scans_per_sec: float, baseline_single: float) -> dict:
 
 
 def demo_worker(out_path: str | None = None, n_scans: int = 4,
-                reps: int = 3) -> dict:
+                reps: int = 3, width: int | None = None) -> dict:
     """Run the dp-sharded batched odometry fleet over ALL global devices.
 
     Call after `initialize()`. Every process executes the same SPMD
@@ -76,6 +76,19 @@ def demo_worker(out_path: str | None = None, n_scans: int = 4,
     shards (one independent sequence lane per device). Process 0 writes a
     JSON report: per-lane trajectory agreement vs a single-device run and
     the multi-device scaling efficiency. Returns the report dict.
+
+    `width`: azimuth columns per scan (None = the TINY test width, 128).
+    For a MEANINGFUL timing, pass width >= 450 and n_scans >= 10 so
+    per-lane work dominates dispatch noise. NOTE on the CPU test fabric:
+    N virtual devices share the host's physical cores, so the
+    `scaling_efficiency` ceiling is ~cores/devices even at perfect
+    scaling (e.g. 2 cores / 8 devices -> 0.25); the core-aware number to
+    gate on there is `machine_utilization_ratio` = aggregate multi-lane
+    scans/s over single-lane scans/s (XLA CPU parallelizes a single lane
+    across cores, so a ratio near 1.0 means the 8-way dp sharding wastes
+    nothing; the r2 anti-scaling bug showed up as a ratio << 1). On a real
+    pod slice, devices do not share cores and `scaling_efficiency` is the
+    BASELINE.json >=80% metric itself.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -86,6 +99,15 @@ def demo_worker(out_path: str | None = None, n_scans: int = 4,
     from lidar_odometry_demo_tpu.pipeline import odometry
 
     cfg = TINY
+    if width is not None and width != cfg.scan_width:
+        cfg = cfg.replace(
+            scan_width=width,
+            max_raw_points=max(cfg.max_raw_points, 16 * width * 2),
+            max_planar_points=8192,
+            max_match_points=2048,
+            max_update_points=8192,
+            map_capacity=32768,
+        )
     mesh = global_mesh(sp=1)
     n_lanes = mesh.shape["dp"]
 
@@ -160,8 +182,17 @@ def demo_worker(out_path: str | None = None, n_scans: int = 4,
     t_single = np.asarray(s1.current.t)
     max_dt = float(np.abs(t_lanes - t_single[None]).max())
 
+    import os
+
     report = {
         "scaling": scaling_report(mesh, multi_sps, single_sps),
+        # aggregate multi-lane throughput vs the single-lane run on the
+        # same fabric — the core-aware bar for oversubscribed CPU meshes
+        # (see docstring); ~1.0 = the dp sharding wastes no machine
+        "machine_utilization_ratio": (
+            multi_sps / single_sps if single_sps > 0 else 0.0),
+        "host_cpu_count": os.cpu_count(),
+        "scan_width": cfg.scan_width,
         "compile_s": compile_s,
         "n_scans": n_scans,
         "lanes": int(n_lanes),

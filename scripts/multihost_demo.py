@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--scans", type=int, default=4)
+    ap.add_argument("--width", type=int, default=None,
+                    help="azimuth columns (>=450 for meaningful timing)")
     args = ap.parse_args()
 
     if args.nprocs is not None:
@@ -59,7 +61,8 @@ def main():
         f"{len(jax.local_devices())} local / {len(jax.devices())} global devices",
         file=sys.stderr,
     )
-    report = multihost.demo_worker(out_path=args.out, n_scans=args.scans)
+    report = multihost.demo_worker(out_path=args.out, n_scans=args.scans,
+                                   width=args.width)
     if jax.process_index() == 0:
         print(report)
 

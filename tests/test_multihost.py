@@ -39,7 +39,7 @@ def test_two_process_fleet(tmp_path):
             [
                 sys.executable, os.path.join(REPO, "scripts", "multihost_demo.py"),
                 "--nprocs", "2", "--pid", str(pid), "--port", str(port),
-                "--local-devices", "4",
+                "--local-devices", "4", "--scans", "10", "--width", "450",
             ]
             + (["--out", str(out)] if pid == 0 else []),
             env=env, cwd=REPO,
@@ -62,9 +62,18 @@ def test_two_process_fleet(tmp_path):
     assert report["scaling"]["devices"] == 8
     assert report["lanes"] == 8
     # all 8 lanes (spread over both processes) reproduced the single-device
-    # trajectory. (No absolute-motion assert: the TINY 128-column world is
-    # xy-degenerate — ~99% ground-plane features — so the translation prior
-    # pins the pose; accuracy is gated at full width in test_pipeline.py.
-    # This test's job is REAL cross-process SPMD execution + the report.)
+    # trajectory at a MEANINGFUL shape (W=450, 10 scans: per-lane work
+    # dominates dispatch noise; the drive visibly moves).
     assert report["max_lane_vs_single_dt"] < 1e-3, report
-    assert report["scaling"]["scaling_efficiency"] > 0.0
+    import numpy as np
+    assert np.linalg.norm(report["final_t"]) > 0.1, report
+    # Calibrated scaling bars for THIS fabric (8 virtual devices over 2
+    # physical cores — see multihost.demo_worker docstring). Measured on
+    # 2026-08-20: machine_utilization_ratio 1.29, scaling_efficiency 0.16
+    # against a core-limited ceiling of cores/devices = 0.25. The floors
+    # below catch real regressions (the r2 anti-scaling bug scored ~0.5
+    # on the ratio) while leaving ~2x noise margin; the >=80% BASELINE
+    # target applies to real pod slices where devices do not share cores.
+    assert report["machine_utilization_ratio"] > 0.7, report
+    ceiling = min(1.0, (report["host_cpu_count"] or 1) / report["lanes"])
+    assert report["scaling"]["scaling_efficiency"] > 0.35 * ceiling, report
