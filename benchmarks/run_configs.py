@@ -226,9 +226,51 @@ def config5(args):
             "vs_baseline": None}
 
 
+def config6(args):
+    """Single-chip spatial-mode overhead (VERDICT r3 missing #5): the
+    spatially-partitioned map path (ownership masks, quantized rebase,
+    halo-exchange ppermutes — parallel/spatial.py) run on a 1-device mesh
+    against the same drive as config2; the scans/s delta vs config2 IS the
+    spatial machinery's single-chip cost."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lidar_odometry_demo_tpu.config import OdometryConfig
+    from lidar_odometry_demo_tpu.io.simulator import simulate_sequence
+    from lidar_odometry_demo_tpu.ops.cloud import scan_from_numpy
+    from lidar_odometry_demo_tpu.parallel import spatial
+    from jax.sharding import Mesh
+
+    cfg = OdometryConfig()
+    num_scans = args.scans or 40
+    drive = simulate_sequence(num_scans=num_scans, width=cfg.scan_width,
+                              seed=42, speed=5.0, yaw_rate=0.08)
+    scans = [
+        scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
+                        cfg.max_raw_points)
+        for s in drive.scans
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("sp",))
+    run = spatial.make_spatial_sequence_runner(cfg, mesh, axis="sp")
+    state0 = spatial.init_spatial_state(cfg, 1)
+    state, diags = run(state0, stacked)
+    _force(state.current.t)
+    t0 = time.time()
+    state, diags = run(state0, stacked._replace(xyz=stacked.xyz + np.float32(1e-4)))
+    _force(state.current.t, state.keyframe.count)
+    dt = time.time() - t0
+    sps = num_scans / dt
+    return {"metric": "config6_spatial_mode_single_chip_scans_per_sec",
+            "value": round(sps, 2), "unit": "scans/s",
+            "vs_baseline": round(sps / 10.0, 2),
+            "note": "compare against config2 at the same --scans for the spatial-path overhead"}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    p.add_argument("config", type=int, choices=[1, 2, 3, 4, 5, 6])
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--scans", type=int)
     p.add_argument("--batch", type=int)
@@ -241,7 +283,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    fn = {1: lambda a: config1(), 2: config2, 3: config3, 4: config4, 5: config5}[args.config]
+    fn = {1: lambda a: config1(), 2: config2, 3: config3, 4: config4,
+          5: config5, 6: config6}[args.config]
     print(json.dumps(fn(args)))
 
 

@@ -70,6 +70,11 @@ class OdometryConfig:
     # formulation (ops/pallas/correspondence.py). Identical results;
     # requires max_match_points % 256 == 0 and a TPU backend.
     icp_use_pallas: bool = False
+    # Run the per-GN-step residual/Jacobian/Hessian accumulation as a
+    # fused Pallas kernel (ops/pallas/jtwj.py — the reference's
+    # cloud_matcher.cpp:48-102 math as one streaming pass). Identical
+    # results; requires max_match_points % 1024 == 0 and a TPU backend.
+    icp_use_pallas_jtwj: bool = False
 
     # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---
     curvature_window: int = 4          # :83

@@ -101,21 +101,29 @@ def _normal_equations(
     A^T A to H_tt and A^T A (t - guess) to b_t.
     """
     R = se3.quat_to_matrix(pose.q)
-    p_w = corr.source_local @ R.T + pose.t
-    r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)  # (Q,)
+    if cfg.icp_use_pallas_jtwj:
+        from lidar_odometry_demo_tpu.ops.pallas.jtwj import jtwj_accumulate
 
-    # IRLS Huber weight (Ceres HuberLoss rho'(s): 1 for |r|<=d, d/|r| beyond)
-    absr = jnp.abs(r)
-    w = jnp.where(absr <= cfg.icp_huber_delta, 1.0, cfg.icp_huber_delta / jnp.maximum(absr, 1e-30))
-    w = jnp.where(corr.valid, w, 0.0)
+        H, b = jtwj_accumulate(
+            corr.source_local, corr.plane_origin, corr.plane_normal,
+            corr.valid, R, pose.t, huber_delta=cfg.icp_huber_delta,
+        )
+    else:
+        p_w = corr.source_local @ R.T + pose.t
+        r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)
 
-    rp = corr.source_local @ R.T  # R p_i
-    j_rot = jnp.cross(rp, corr.plane_normal)  # (Q, 3)
-    J = jnp.concatenate([j_rot, corr.plane_normal], axis=-1)  # (Q, 6)
+        # IRLS Huber weight (Ceres HuberLoss rho'(s): 1 for |r|<=d, d/|r| beyond)
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= cfg.icp_huber_delta, 1.0, cfg.icp_huber_delta / jnp.maximum(absr, 1e-30))
+        w = jnp.where(corr.valid, w, 0.0)
 
-    Jw = J * w[:, None]
-    H = J.T @ Jw                      # (6, 6) — MXU matmul
-    b = Jw.T @ r                      # (6,)
+        rp = corr.source_local @ R.T  # R p_i
+        j_rot = jnp.cross(rp, corr.plane_normal)  # (Q, 3)
+        J = jnp.concatenate([j_rot, corr.plane_normal], axis=-1)  # (Q, 6)
+
+        Jw = J * w[:, None]
+        H = J.T @ Jw                      # (6, 6) — MXU matmul
+        b = Jw.T @ r                      # (6,)
     if axis_name is not None:
         H = jax.lax.psum(H, axis_name)
         b = jax.lax.psum(b, axis_name)

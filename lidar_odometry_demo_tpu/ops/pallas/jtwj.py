@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: fused point-to-plane residual / Jacobian / Hessian
+accumulation (the reference's hot inner-solve math,
+cloud_matcher.cpp:48-102, as one streaming pass).
+
+Per Gauss-Newton step on a FIXED correspondence set the XLA path
+(ops/icp.py _normal_equations) materializes R p, the residuals, the IRLS
+weights, and the (Q, 6) Jacobian in HBM before two small matmuls. This
+kernel streams correspondence tiles through VMEM and emits per-tile
+partial normal equations (n_tiles, 6, 6) + (n_tiles, 6); the caller sums
+the tiny partials and adds the translation prior. Mathematically
+identical: J_i = [ (R p_i) x n_i , n_i ], w_i = Huber'(r_i)/r_i clamped
+to [0, 1], H = J^T W J, b = J^T W r.
+
+Wired behind config.icp_use_pallas_jtwj; the chip A/B
+(scripts/pallas_match_bench.py) decides the default.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
+                 h_ref, b_ref, *, huber_delta: float):
+    """One grid step accumulates a tile of T correspondences.
+
+    sl_ref:   (T, 3) source points (local frame)
+    po_ref:   (T, 3) matched plane origins
+    pn_ref:   (T, 3) matched plane normals
+    valid_ref:(T,)   f32 0/1 correspondence validity
+    pose_ref: (1, 12) [R row-major (9), t (3)]
+    h_ref:    (1, 6, 6) this tile's partial H
+    b_ref:    (1, 6)    this tile's partial b
+    """
+    sl = sl_ref[:]
+    pn = pn_ref[:]
+    pose = pose_ref[0]
+    R = pose[0:9].reshape(3, 3)
+    t = pose[9:12]
+
+    rp = jax.lax.dot_general(  # R p_i  -> (T, 3)
+        sl, R, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p_w = rp + t[None, :]
+    r = jnp.sum((p_w - po_ref[:]) * pn, axis=-1)            # (T,)
+
+    absr = jnp.abs(r)
+    w = jnp.where(absr <= huber_delta, 1.0,
+                  huber_delta / jnp.maximum(absr, 1e-30))
+    w = w * valid_ref[:]
+
+    # J_i = [ (R p_i) x n_i , n_i ]  (T, 6)
+    jx = rp[:, 1] * pn[:, 2] - rp[:, 2] * pn[:, 1]
+    jy = rp[:, 2] * pn[:, 0] - rp[:, 0] * pn[:, 2]
+    jz = rp[:, 0] * pn[:, 1] - rp[:, 1] * pn[:, 0]
+    J = jnp.stack([jx, jy, jz, pn[:, 0], pn[:, 1], pn[:, 2]], axis=-1)
+
+    Jw = J * w[:, None]
+    h_ref[0] = jax.lax.dot_general(  # (6, 6) = J^T (w J)
+        J, Jw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    b_ref[0] = jax.lax.dot_general(  # (6,) = (w J)^T r
+        Jw, r, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("huber_delta", "tile",
+                                             "interpret"))
+def jtwj_accumulate(source_local, plane_origin, plane_normal, valid,
+                    R, t, *, huber_delta: float, tile: int = 1024,
+                    interpret: bool = False):
+    """(H (6,6), b (6,)) of the robustified point-to-plane system.
+
+    source_local/plane_origin/plane_normal (Q,3) f32; valid (Q,) bool;
+    R (3,3); t (3,). The translation prior is NOT included (caller adds).
+    """
+    Q = source_local.shape[0]
+    assert Q % tile == 0, (Q, tile)
+    n_tiles = Q // tile
+    pose = jnp.concatenate([R.reshape(9), t]).reshape(1, 12)
+    kern = functools.partial(_jtwj_kernel, huber_delta=float(huber_delta))
+    h_parts, b_parts = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 6, 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 6, 6), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 6), jnp.float32),
+        ),
+        interpret=interpret,
+    )(source_local, plane_origin, plane_normal,
+      valid.astype(jnp.float32), pose)
+    return jnp.sum(h_parts, axis=0), jnp.sum(b_parts, axis=0)

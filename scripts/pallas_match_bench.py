@@ -1,8 +1,9 @@
-"""TPU timing: fused Pallas candidate re-match vs the XLA formulation.
+"""TPU timing: the Pallas ICP kernels vs their XLA formulations.
 
-Times (a) the isolated per-iteration match op and (b) the full odometry
-step, with config.icp_use_pallas off/on, at the bench shapes. The result
-decides whether the kernel ships enabled (DESIGN.md "Pallas status").
+Times the full odometry sequence at the bench shapes for each variant:
+xla (both off), match (icp_use_pallas), jtwj (icp_use_pallas_jtwj), and
+both. The results decide the shipped defaults (DESIGN.md "Pallas
+status" r4 table).
 
 Usage: python scripts/pallas_match_bench.py [B]
 """
@@ -28,8 +29,8 @@ n_scans = 10
 drive = simulate_sequence(num_scans=n_scans, width=1800, seed=1, speed=5.0)
 
 
-def run_variant(use_pallas: bool):
-    cfg = OdometryConfig(icp_use_pallas=use_pallas)
+def run_variant(name: str, **flags):
+    cfg = OdometryConfig(**flags)
     scans = [scan_from_numpy(s["xyz"], s["intensity"], s["ring"], s["time"],
                              cfg.max_raw_points) for s in drive.scans]
     stacked = jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *scans))
@@ -61,7 +62,7 @@ def run_variant(use_pallas: bool):
         _ = float(jnp.sum(state.current.t)) + float(jnp.sum(state.keyframe.count))
         ts.append(time.time() - t0)
     ms = 1e3 * min(ts) / (n_scans * B)
-    print(f"pallas={use_pallas}: {ms:.2f} ms/lane-scan "
+    print(f"{name}: {ms:.2f} ms/lane-scan "
           f"({n_scans*B/min(ts):.1f} scans/s, compile {c:.0f}s), "
           f"last t={np.round(np.asarray(state.current.t).reshape(-1,3)[0], 3)}",
           flush=True)
@@ -69,6 +70,10 @@ def run_variant(use_pallas: bool):
 
 
 print(f"B={B} devices={jax.devices()}", file=sys.stderr)
-xla_ms = run_variant(False)
-pls_ms = run_variant(True)
-print(f"speedup: {xla_ms / pls_ms:.3f}x", flush=True)
+xla_ms = run_variant("xla")
+match_ms = run_variant("pallas-match", icp_use_pallas=True)
+jtwj_ms = run_variant("pallas-jtwj", icp_use_pallas_jtwj=True)
+both_ms = run_variant("pallas-both", icp_use_pallas=True,
+                      icp_use_pallas_jtwj=True)
+print(f"speedups vs xla: match {xla_ms/match_ms:.3f}x, "
+      f"jtwj {xla_ms/jtwj_ms:.3f}x, both {xla_ms/both_ms:.3f}x", flush=True)

@@ -113,3 +113,83 @@ def test_match_candidates_pallas_flag_matches_xla(rng):
         np.asarray(got.plane_origin), np.asarray(ref.plane_origin), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(got.plane_normal), np.asarray(ref.plane_normal), atol=1e-6)
+
+
+def test_jtwj_accumulate_matches_xla(rng):
+    """Fused residual/Jacobian/Hessian kernel == the XLA normal-equation
+    formulation (without the translation prior) on a realistic system."""
+    from scipy.spatial.transform import Rotation
+
+    from lidar_odometry_demo_tpu.ops.pallas.jtwj import jtwj_accumulate
+
+    Q = 2048
+    sl = rng.uniform(-20, 20, (Q, 3)).astype(np.float32)
+    pn = rng.normal(0, 1, (Q, 3)).astype(np.float32)
+    pn /= np.linalg.norm(pn, axis=1, keepdims=True)
+    R = Rotation.from_euler("xyz", [0.02, -0.01, 0.3]).as_matrix().astype(np.float32)
+    t = np.array([1.5, -0.2, 0.1], np.float32)
+    # plane origins near the transformed points -> realistic cm residuals
+    po = (sl @ R.T + t + rng.normal(0, 0.03, (Q, 3))).astype(np.float32)
+    valid = rng.random(Q) < 0.8
+    delta = 0.15
+
+    H, b = jtwj_accumulate(
+        jnp.asarray(sl), jnp.asarray(po), jnp.asarray(pn),
+        jnp.asarray(valid), jnp.asarray(R), jnp.asarray(t),
+        huber_delta=delta, tile=512, interpret=True,
+    )
+
+    # XLA/numpy reference (mirrors icp._normal_equations without prior)
+    rp = sl @ R.T
+    r = np.sum((rp + t - po) * pn, axis=-1)
+    absr = np.abs(r)
+    w = np.where(absr <= delta, 1.0, delta / np.maximum(absr, 1e-30))
+    w = np.where(valid, w, 0.0)
+    J = np.concatenate([np.cross(rp, pn), pn], axis=-1)
+    Jw = J * w[:, None]
+    np.testing.assert_allclose(np.asarray(H), J.T @ Jw, rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b), Jw.T @ r, rtol=2e-5, atol=1e-4)
+
+
+def test_icp_pallas_jtwj_flag_matches_xla(rng):
+    """align() with icp_use_pallas_jtwj (interpret mode on CPU) produces
+    the same pose as the XLA path."""
+    import functools
+    from unittest import mock
+
+    import jax
+
+    from lidar_odometry_demo_tpu.config import TINY
+    from lidar_odometry_demo_tpu.io.simulator import sample_structured_cloud
+    from lidar_odometry_demo_tpu.ops import icp, se3
+    from lidar_odometry_demo_tpu.ops import voxel_map as vm
+    from lidar_odometry_demo_tpu.ops.cloud import PointsWithNormals
+
+    xyz, nrm = sample_structured_cloud(seed=11, n_per_plane=400)
+    pts = PointsWithNormals(
+        xyz=jnp.asarray(xyz), normal=jnp.asarray(nrm),
+        valid=jnp.ones(xyz.shape[0], bool))
+    m = vm.map_init(8192, 20)
+    m = vm.map_insert(m, pts, voxel_size=0.2)
+    n_q = TINY.max_match_points
+    q = jnp.asarray(xyz[:n_q] + rng.normal(0, 0.02, (n_q, 3)).astype(np.float32))
+    qv = jnp.ones(n_q, bool)
+    guess = se3.Pose.identity()
+
+    cfg_x = TINY
+    res_x = icp.make_align(cfg_x)(m, q, qv, guess)
+
+    cfg_p = TINY.replace(icp_use_pallas_jtwj=True)
+    import lidar_odometry_demo_tpu.ops.pallas.jtwj as jt
+
+    with mock.patch.object(
+        jt, "jtwj_accumulate",
+        functools.partial(jt.jtwj_accumulate, tile=TINY.max_match_points,
+                          interpret=True),
+    ):
+        res_p = icp.make_align(cfg_p)(m, q, qv, guess)
+
+    np.testing.assert_allclose(
+        np.asarray(res_p.pose.t), np.asarray(res_x.pose.t), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(res_p.pose.q), np.asarray(res_x.pose.q), atol=1e-6)
