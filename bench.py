@@ -70,8 +70,11 @@ def main():
         # value is the only reliable completion barrier
         _ = float(jnp.sum(state.current.t)) + float(jnp.sum(state.keyframe.count))
         times.append(time.time() - t0)
+        print(f"bench: rep {rep}: {1e3*times[-1]/num_scans:.1f} ms/scan",
+              file=sys.stderr, flush=True)
     best = min(times)
     scans_per_sec = num_scans / best
+    map_occupancy = int(jnp.sum((state.keyframe.keys != 0x7FFFFFFF)))
 
     # accuracy: vs simulated ground truth AND vs the pinned reference-
     # parity oracle trajectory (benchmarks/BASELINE_REF.tum — the committed
@@ -153,6 +156,8 @@ def main():
         "vs_baseline": round(headline / 10.0, 2),
         "single_seq_scans_per_sec": round(scans_per_sec, 2),
         "aligned_ate_m": round(float(ate), 4),
+        "map_occupancy_voxels": map_occupancy,
+        "map_capacity": cfg.map_capacity,
     }
     if batched_sps is not None:
         out[f"batched_x{B}_scans_per_sec"] = round(batched_sps, 2)

@@ -332,6 +332,13 @@ _ZWORDS = (2 * _DIR_ZHALF) // 32    # 8 int32 words
 
 _PTR_EMPTY = np.int32(0x7FFFFFFF)
 
+# desc build formulation A/B (see build_search_index): default is the
+# flat scatter-add; LIDAR_DESC_SCAN=1 switches to the segmented-scan
+# build for on-chip comparison.
+import os as _os
+
+_DESC_VIA_SCAN = _os.environ.get("LIDAR_DESC_SCAN", "0") == "1"
+
 
 class SearchIndex(NamedTuple):
     """Per-scan acceleration structure for the 27-neighborhood search.
@@ -402,16 +409,43 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
     # the overflow cell must stay empty (invalid queries point there)
     dense = dense.at[_G * _G].set(_PTR_EMPTY)
 
-    # compact z-occupancy at leader slots: one flat scalar scatter-add
-    # (z unique per voxel within a column, so add == or; bit 31 wraps to
-    # int32 min — the right bit pattern; int32 throughout, see EMPTY_KEY)
+    # compact z-occupancy at leader slots. Two formulations, switchable
+    # for on-chip A/B (LIDAR_DESC_SCAN=1):
     word = jnp.where(in_win, jax.lax.shift_right_logical(zd, 5), 0)
     bit = jax.lax.shift_left(jnp.int32(1), zd & 31)
-    desc_flat = jnp.zeros((C * _ZWORDS,), jnp.int32)
-    desc_flat = desc_flat.at[
-        jnp.where(in_win, start * _ZWORDS + word, C * _ZWORDS)
-    ].add(jnp.where(in_win, bit, 0), mode="drop")
-    desc = desc_flat.reshape(C, _ZWORDS)
+    if _DESC_VIA_SCAN:
+        # SEGMENTED suffix-OR scan over the column runs (columns are
+        # consecutive in the sorted table, so the leader's suffix-OR
+        # within its run is the full column mask). Non-leader desc rows
+        # hold partial suffixes (garbage) — only leader slots are ever
+        # dereferenced.
+        onehot = jnp.where(
+            (word[:, None] == np.arange(_ZWORDS, dtype=np.int32)[None, :])
+            & in_win[:, None],
+            bit[:, None], 0)                               # (C, ZWORDS)
+        # flip -> forward segmented inclusive OR -> flip back == suffix-
+        # OR within runs; segment starts in the flipped order are the
+        # original runs' LAST rows (the row before the next leader)
+        seg_end = jnp.concatenate([leader[1:], jnp.array([True])])
+        flags_f = jnp.flip(seg_end, 0).astype(jnp.int32)[:, None]
+        vals_f = jnp.flip(onehot, 0)
+
+        def _seg_or(a, b):
+            av, af = a
+            bv, bf = b
+            return jnp.where(bf.astype(bool), bv, av | bv), af | bf
+
+        scanned, _ = jax.lax.associative_scan(_seg_or, (vals_f, flags_f))
+        desc = jnp.flip(scanned, 0)
+    else:
+        # one flat scalar scatter-add (z unique per voxel within a
+        # column, so add == or; bit 31 wraps to int32 min — the right bit
+        # pattern; int32 throughout, see EMPTY_KEY)
+        desc_flat = jnp.zeros((C * _ZWORDS,), jnp.int32)
+        desc_flat = desc_flat.at[
+            jnp.where(in_win, start * _ZWORDS + word, C * _ZWORDS)
+        ].add(jnp.where(in_win, bit, 0), mode="drop")
+        desc = desc_flat.reshape(C, _ZWORDS)
 
     # z-triple candidate rows: pure slices of tab, no gather
     rows = m.tab[:, :RW]
@@ -502,19 +536,26 @@ def _update_impl(
 ) -> VoxelMap:
     """Shared evict+insert body.
 
-    1. ONE elementwise pass rebuilds the meta lanes in place: keys
-       uniformly shifted to the new origin, evicted voxels tombstoned
-       (count 0; key kept so a same-scan re-insert reuses the row — the
-       reference's erase-then-reinsert, voxel_grid.h:236-246 + 77-93) or
-       dropped to EMPTY if no incoming point touches them.
+    1. The post-update keys and counts are computed as (C+N_in,) VECTORS:
+       keys uniformly shifted to the new origin, evicted voxels
+       tombstoned (count 0; key kept so a same-scan re-insert reuses the
+       row — the reference's erase-then-reinsert, voxel_grid.h:236-246 +
+       77-93) or dropped to EMPTY if no incoming point touches them.
+       No table-wide meta rebuild: the vectors ride the merge sort and
+       are stamped into the gathered rows' key/count lanes afterwards
+       (two fused column writes). The previous design rebuilt the meta
+       lanes with a full (C, W) concatenate — 0.48 ms/scan of pure copy
+       in the r4 xplane trace.
     2. Incoming points (sorted by key; stable sort keeps input order so
        first-come-kept capping is deterministic) are written into an
-       extended row space [tab ++ fresh rows] with small flat element
-       scatters: found groups append into their existing row at
-       lanes [count..K), fresh groups build their row at C + leader.
-    3. ONE argsort of (C + N_in) keys and ONE (C,)-row gather permute the
-       extended rows back into a sorted C-row table. At capacity overflow
-       the C smallest keys win (documented deviation; the reference grows).
+       extended row space [tab ++ fresh rows] with one fused flat element
+       scatter (points, normals, anchors): found groups append into their
+       existing row at lanes [count..K), fresh groups build their row at
+       C + leader.
+    3. ONE sort of the (C + N_in) key vector (carrying the row permutation
+       and count vector) and ONE (C,)-row gather permute the extended rows
+       back into a sorted C-row table. At capacity overflow the C smallest
+       keys win (documented deviation; the reference grows).
     """
     C, K = m.capacity, m.max_points
     RW, MB, W = _lanes(K)
@@ -559,21 +600,11 @@ def _update_impl(
     keys2 = jnp.where(live, keys1, EMPTY_KEY)
     count1 = jnp.where(touched & evicted, 0, count1)  # reused tombstones
 
-    # --- elementwise meta rebuild: ONE linear pass over tab ---
-    cntf1 = jax.lax.bitcast_convert_type(count1.astype(jnp.float32), jnp.int32)
-    tab_keyed = jnp.concatenate(
-        [
-            m.tab[:, : 3 * K],
-            cntf1[:, None],
-            m.tab[:, 3 * K + 1 : MB],
-            keys2[:, None],
-            m.tab[:, MB + 1 :],
-        ],
-        axis=1,
-    )
-    # fresh region: zero rows with EMPTY key lanes
-    fresh = jnp.zeros((n_in, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
-    tab_ext = jnp.concatenate([tab_keyed, fresh], axis=0)
+    # --- extended row space: raw old rows ++ zero fresh rows (key and
+    # count lanes are stamped from the sorted vectors after the merge
+    # gather, so no meta rebuild pass over the table) ---
+    tab_ext = jnp.concatenate(
+        [m.tab, jnp.zeros((n_in, W), jnp.int32)], axis=0)
     total_rows = C + n_in
 
     # --- per-element write positions ---
@@ -598,18 +629,18 @@ def _update_impl(
     new_count = jnp.minimum(K, base + group_size)
     anch = leader & (base == 0)
 
-    # ONE fused (row, lane) element scatter for all five write groups —
-    # points, normals, counts, fresh keys, anchors. Every kept
-    # target lane is written at most once (points/normals land at distinct
-    # (slot, k) in disjoint lane ranges, per-leader lanes at distinct
-    # slots); masked entries get DISTINCT out-of-bounds rows so the
-    # uniqueness promise holds for them too — declaring uniqueness lets
-    # XLA emit the parallel scatter path, and fusing the groups makes the
-    # scatter pass over the extended table happen ONCE instead of six
-    # times (each separate scatter was a full-buffer rewrite in the r3
-    # xplane trace: ~0.4 ms/lane each at batch 8). 2-D indices on purpose:
-    # scattering the flattened table forces (C+n, W) <-> flat retiling
-    # copies on TPU.
+    # ONE fused (row, lane) element scatter for the three in-row write
+    # groups — points, normals, anchors (keys and counts travel as
+    # vectors through the sort instead). Every kept target lane is
+    # written at most once (points/normals land at distinct (slot, k) in
+    # disjoint lane ranges, anchors at distinct slots); masked entries
+    # get DISTINCT out-of-bounds rows so the uniqueness promise holds for
+    # them too — declaring uniqueness lets XLA emit the parallel scatter
+    # path, and fusing the groups makes the scatter pass over the
+    # extended table happen ONCE instead of several times (each separate
+    # scatter was a full-buffer rewrite in the r3 xplane trace:
+    # ~0.4 ms/lane each at batch 8). 2-D indices on purpose: scattering
+    # the flattened table forces (C+n, W) <-> flat retiling copies on TPU.
     l3 = np.arange(3, dtype=np.int32)[None, :]
     b3 = lambda v: jnp.broadcast_to(v[:, None], (n, 3))
     bits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
@@ -619,9 +650,6 @@ def _update_impl(
         # (rows, lanes, int32 values, mask)
         (b3(ext_slot), write_idx[:, None] + planar_l, bits(sxyz), b3(keep)),
         (b3(ext_slot), (RW + 3 * write_idx)[:, None] + l3, bits(snrm), b3(keep)),
-        (ext_slot, jnp.full((n,), 3 * K, jnp.int32),
-         bits(new_count.astype(jnp.float32)), leader),
-        (ext_slot, jnp.full((n,), MB, jnp.int32), skeys, leader & ~found),
         (b3(ext_slot), (MB + 1) + jnp.zeros((n, 1), jnp.int32) + l3,
          bits(sxyz), b3(anch)),
     )
@@ -634,11 +662,27 @@ def _update_impl(
     tab_ext = tab_ext.at[rows_all, lanes_all].set(
         vals_all, mode="drop", unique_indices=True)
 
-    # --- merge permute: one sort + one C-row gather ---
+    # --- post-update key/count vectors over the extended rows ---
     fresh_keys = jnp.where(leader & ~found & keep, skeys, EMPTY_KEY)
     keys_ext = jnp.concatenate([keys2, fresh_keys])
-    order = jnp.argsort(keys_ext)[:C]
-    new_tab = tab_ext[order]
+    count_ext = jnp.concatenate(
+        [count1, jnp.zeros((n_in,), count1.dtype)]
+    ).at[
+        # distinct OOB rows for masked entries keep the uniqueness promise
+        jnp.where(leader, ext_slot,
+                  total_rows + jnp.arange(n_in, dtype=jnp.int32))
+    ].set(new_count, mode="drop", unique_indices=True)
+
+    # --- merge permute: one 3-array sort + one C-row gather, key/count
+    # lanes stamped from the sorted vectors (fused column writes) ---
+    iota_ext = jnp.arange(total_rows, dtype=jnp.int32)
+    sorted_keys, order, sorted_cnt = jax.lax.sort(
+        (keys_ext, iota_ext, count_ext), num_keys=1, is_stable=True)
+    new_tab = tab_ext[order[:C]]
+    new_tab = new_tab.at[:, MB].set(sorted_keys[:C])
+    new_tab = new_tab.at[:, 3 * K].set(
+        jax.lax.bitcast_convert_type(
+            sorted_cnt[:C].astype(jnp.float32), jnp.int32))
     return VoxelMap(tab=new_tab, origin=new_origin, kdim=m.kdim)
 
 
@@ -898,36 +942,68 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
             q_world, cand.rows, cand.n_present, max_d2=float(max_d2),
             max_points=K,
         )
+        c_idx = (loc // (3 * K)).astype(jnp.int32)
+        zk_idx = loc % (3 * K)
     else:
-        r = jax.lax.bitcast_convert_type(
-            cand.rows, jnp.float32).reshape(Q, 9, 3, RW)
-        x = r[..., 0:K]                  # (Q, 9, 3, K) planar lane slices
-        y = r[..., K : 2 * K]
-        z = r[..., 2 * K : 3 * K]
-        cnt = r[..., 3 * K]              # (Q, 9, 3) f32 counts
-        j3 = np.arange(3, dtype=np.int32)[None, None, :]
-        kf = np.arange(K, dtype=np.float32)[None, None, None, :]
-        ok = ((j3 < cand.n_present[..., None])[..., None]
-              & (kf < cnt[..., None]))
-        dx = x - q_world[:, 0, None, None, None]
-        dy = y - q_world[:, 1, None, None, None]
-        dz = z - q_world[:, 2, None, None, None]
-        d2 = dx * dx + dy * dy + dz * dz
-        d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
-        flat = d2.reshape(Q, 27 * K)
-        loc = jnp.argmin(flat, axis=-1)                 # first min in (c,z,k)
-        best_d2 = jnp.min(flat, axis=-1)
-        onehot = (jnp.arange(27 * K, dtype=jnp.int32)[None, :]
-                  == loc[:, None]).reshape(Q, 9, 3, K)
-        plane_origin = jnp.stack(
-            [jnp.sum(jnp.where(onehot, c, 0.0), axis=(1, 2, 3))
-             for c in (x, y, z)], axis=-1)
-    c_idx = loc // K
-    k_idx = (loc % K).astype(jnp.int32)
+        # Hierarchical first-min, entirely in the gather's ROW-MAJOR
+        # layout: per candidate row (query-column triple) reduce the 3x K
+        # lane blocks to (best d2, best (z,k)), then combine each query's
+        # 9 rows. Equivalent to the flat argmin over (col, z, k) order —
+        # strict `<` between z-slices and across columns keeps the FIRST
+        # minimum (reference tie-break, voxel_grid.h:175-196) — but never
+        # materializes a (Q, 27K) tensor or re-tiles the cache (the
+        # (Q,9,3,RW) view cost 0.77 ms/scan of reshape/copy in the r4
+        # xplane trace).
+        QR = Q * 9
+        r2 = jax.lax.bitcast_convert_type(
+            cand.rows.reshape(QR, 3 * RW), jnp.float32)
+        qx = jnp.broadcast_to(q_world[:, None, 0], (Q, 9)).reshape(QR, 1)
+        qy = jnp.broadcast_to(q_world[:, None, 1], (Q, 9)).reshape(QR, 1)
+        qz = jnp.broadcast_to(q_world[:, None, 2], (Q, 9)).reshape(QR, 1)
+        npres = cand.n_present.reshape(QR)
+        kf = np.arange(K, dtype=np.float32)[None, :]
+        ki = np.arange(K, dtype=np.int32)[None, :]
+        best_d_row = jnp.full((QR,), max_d2, jnp.float32)
+        best_zk_row = jnp.zeros((QR,), jnp.int32)
+        for s in range(3):
+            o = s * RW
+            xs = r2[:, o : o + K]
+            ys = r2[:, o + K : o + 2 * K]
+            zs = r2[:, o + 2 * K : o + 3 * K]
+            cnt = r2[:, o + 3 * K]
+            ok = (npres > s)[:, None] & (kf < cnt[:, None])
+            dx = xs - qx
+            dy = ys - qy
+            dz = zs - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
+            mn = jnp.min(d2, axis=1)
+            kw = jnp.min(jnp.where(d2 <= mn[:, None], ki, K - 1), axis=1)
+            better = mn < best_d_row        # strict: earlier z wins ties
+            best_zk_row = jnp.where(better, s * K + kw, best_zk_row)
+            best_d_row = jnp.minimum(best_d_row, mn)
+        bd = best_d_row.reshape(Q, 9)
+        best_d2 = jnp.min(bd, axis=1)
+        c_idx = jnp.argmin(bd, axis=1).astype(jnp.int32)  # first min in col order
+        zk_idx = jnp.take_along_axis(
+            best_zk_row.reshape(Q, 9), c_idx[:, None], axis=1)[:, 0]
+        # winner point: 3-element gather from the raw rows (same shape as
+        # the winner-normal gather; a one-hot re-stream of the 56 MB cache
+        # costs more than 24k gathered elements)
+        win_row = jnp.arange(Q, dtype=jnp.int32) * 9 + c_idx
+        s_win = zk_idx // K
+        k_win = zk_idx % K
+        lane_x = s_win * RW + k_win
+        rows_flat = cand.rows.reshape(QR, 3 * RW)
+        plane_origin = jax.lax.bitcast_convert_type(
+            rows_flat[win_row[:, None],
+                      jnp.stack([lane_x, lane_x + K, lane_x + 2 * K], axis=1)],
+            jnp.float32)
+    k_idx = (zk_idx % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.minimum(
-        jnp.take_along_axis(cand.base, (c_idx // 3)[:, None], axis=-1)[:, 0]
-        + c_idx % 3,
+        jnp.take_along_axis(cand.base, c_idx[:, None], axis=-1)[:, 0]
+        + zk_idx // K,
         C - 1,
     )
     if nrm_view is None:

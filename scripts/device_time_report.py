@@ -125,31 +125,44 @@ def main():
             ts.append(time.time() - t0)
         return min(ts)
 
-    # gather roofline at the candidate-gather shape, amortized over 20 its
+    log("trace captured; microbenches...")
+    # dispatch-floor baseline: an (almost) empty loop — subtracted from
+    # both microbenches (the ~25 ms per-call floor otherwise corrupts
+    # them: at 20 iterations it reads as a 35 GB/s "bandwidth")
+    tiny = jnp.zeros((8, 128), jnp.float32)
+
+    @jax.jit
+    def empty100(x):
+        def body(i, acc):
+            return acc + jnp.sum(x) * jnp.float32(i)
+        return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
+
+    t_floor = timed(empty100, tiny)
+
+    # gather roofline at the candidate-gather shape, amortized over 100 its
     rows = jnp.zeros((C, 3 * RW), jnp.int32)
     idx = jnp.asarray(np.random.default_rng(0).integers(0, C, Q * 9), jnp.int32)
 
     @jax.jit
-    def g20(rows, idx):
+    def g100(rows, idx):
         def body(i, acc):
             return acc + jnp.float32(jnp.sum(rows[idx + i, :1]))
-        return jax.lax.fori_loop(0, 20, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
-    log("trace captured; microbenches...")
-    t_gather = timed(g20, rows, idx) / 20
+    t_gather = max(timed(g100, rows, idx) - t_floor, 1e-9) / 100
     gather_rows_per_s = Q * 9 / t_gather
 
-    # HBM stream bandwidth: big copy (read+write)
+    # HBM stream bandwidth (read-only stream of 256 MB x 16)
     big = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
 
     @jax.jit
-    def c4(x):
+    def c16(x):
         def body(i, acc):
             return acc + jnp.sum(x * (1.0 + jnp.float32(i)))
-        return jax.lax.fori_loop(0, 4, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, 16, body, jnp.float32(0))
 
-    t_copy = timed(c4, big) / 4
-    hbm_gb_per_s = big.size * 4 / t_copy / 1e9  # read-only stream
+    t_copy = max(timed(c16, big) - t_floor, 1e-9) / 16
+    hbm_gb_per_s = big.size * 4 / t_copy / 1e9
 
     log("parsing xplane...")
     # --- parse xplane ---
@@ -204,13 +217,69 @@ def main():
             for (s, n), v in sorted(top_ops.items(), key=lambda kv: -kv[1])[:25]
         ],
     }
-    out_json = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "benchmarks", "DEVICE_TIME_r04.json")
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks")
+    out_json = os.path.join(bench_dir, "DEVICE_TIME_r04.json")
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
+    with open(os.path.join(bench_dir, "DEVICE_TIME.md"), "w") as f:
+        f.write(render_md(report))
     print(json.dumps({k: v for k, v in report.items()
                       if k != "top_ops_ms_per_scan"}, indent=1))
-    print(f"wrote {out_json}")
+    print(f"wrote {out_json} and DEVICE_TIME.md")
+
+
+def render_md(r: dict) -> str:
+    rl = r["roofline"]
+    busy = r["device_busy_ms_per_scan"]
+    lines = [
+        "# Device-time accounting — one odometry scan (round 4)",
+        "",
+        "Per-stage TPU device time of the steady-state single-sequence",
+        "runner at full VLP16 shape, from an xplane trace "
+        f"({r['n_scans_traced']} scans, map occupancy "
+        f"{r['map_occupancy_voxels']} voxels of {r['config']['map_capacity']}"
+        " capacity), with measured same-chip roofline context.",
+        "Regenerate: `python scripts/device_time_report.py`.",
+        "",
+        f"- wall: **{r['wall_ms_per_scan']} ms/scan**"
+        " (beware: wall includes tunnel/host dispatch; the honest wall"
+        " number is bench.py's)",
+        f"- device busy (leaf-op sum): **{busy} ms/scan**",
+        f"- ICP outer rounds/scan: {r['icp_outer_iterations_per_scan']}",
+        "",
+        "| stage | ms/scan | % busy |",
+        "|---|---|---|",
+    ]
+    for k, v in r["stage_ms_per_scan"].items():
+        lines.append(f"| {k} | {v} | {100*v/busy:.0f}% |")
+    lines += [
+        "",
+        "## Roofline context (measured on the same chip)",
+        "",
+        f"- random row gather: **{rl['gather_rows_per_s']} M rows/s** at the"
+        " candidate-gather shape -> floor for the per-scan (Q*9)-row"
+        f" candidate gather = {rl['candidate_gather_floor_ms']} ms",
+        f"- HBM stream: **{rl['hbm_stream_gb_per_s']:.0f} GB/s** ->"
+        " full-table pass floor ="
+        f" {rl['table_full_pass_floor_ms']} ms; per-ICP-round candidate"
+        f" stream floor = {rl['match_round_stream_floor_ms']} ms",
+        "",
+        "The binding resources are (a) row/element COUNT for every gather/",
+        "scatter (candidate gather, directory scatters, insert scatter) and",
+        "(b) HBM bandwidth for the full-table passes (rows3 build, merge",
+        "gather). Stages already at their floor can only get faster by",
+        "touching fewer rows/bytes, not by kernel tuning.",
+        "",
+        "## Top ops",
+        "",
+        "| ms/scan | stage | op |",
+        "|---|---|---|",
+    ]
+    for o in r["top_ops_ms_per_scan"][:15]:
+        lines.append(f"| {o['ms']} | {o['stage']} | `{o['op'][:90]}` |")
+    lines.append("")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
