@@ -38,6 +38,20 @@ from lidar_odometry_demo_tpu.ops import se3
 from lidar_odometry_demo_tpu.ops import voxel_map as vm
 
 
+def _rot_pts(pts: jax.Array, R: jax.Array) -> jax.Array:
+    """pts @ R.T as exact elementwise VPU math.
+
+    The @ operator lowers to an MXU dot_general whose DEFAULT precision
+    computes in bfloat16 on TPU — rounding world coordinates to ~8
+    mantissa bits (the same trap as the r3 winner-select einsum,
+    ADVICE r3 #1). Nine multiply-adds on the VPU are exact f32 and fuse
+    with the surrounding residual math.
+    """
+    return jnp.stack(
+        [pts[..., 0] * R[i, 0] + pts[..., 1] * R[i, 1] + pts[..., 2] * R[i, 2]
+         for i in range(3)], axis=-1)
+
+
 class IcpResult(NamedTuple):
     pose: se3.Pose
     iterations: jax.Array     # outer iterations executed
@@ -109,7 +123,8 @@ def _normal_equations(
             corr.valid, R, pose.t, huber_delta=cfg.icp_huber_delta,
         )
     else:
-        p_w = corr.source_local @ R.T + pose.t
+        rp = _rot_pts(corr.source_local, R)  # R p_i (exact, VPU)
+        p_w = rp + pose.t
         r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)
 
         # IRLS Huber weight (Ceres HuberLoss rho'(s): 1 for |r|<=d, d/|r| beyond)
@@ -117,13 +132,13 @@ def _normal_equations(
         w = jnp.where(absr <= cfg.icp_huber_delta, 1.0, cfg.icp_huber_delta / jnp.maximum(absr, 1e-30))
         w = jnp.where(corr.valid, w, 0.0)
 
-        rp = corr.source_local @ R.T  # R p_i
         j_rot = jnp.cross(rp, corr.plane_normal)  # (Q, 3)
         J = jnp.concatenate([j_rot, corr.plane_normal], axis=-1)  # (Q, 6)
 
         Jw = J * w[:, None]
-        H = J.T @ Jw                      # (6, 6) — MXU matmul
-        b = Jw.T @ r                      # (6,)
+        # f32-exact normal equations (default matmul precision is bf16)
+        H = jnp.matmul(J.T, Jw, precision=jax.lax.Precision.HIGHEST)
+        b = jnp.matmul(Jw.T, r, precision=jax.lax.Precision.HIGHEST)
     if axis_name is not None:
         H = jax.lax.psum(H, axis_name)
         b = jax.lax.psum(b, axis_name)
@@ -202,7 +217,7 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None,
             if owner_fn is not None:
                 Rg = se3.quat_to_matrix(guess.q)
                 gather_valid = query_valid & owner_fn(
-                    m, query_xyz @ Rg.T + guess.t)
+                    m, _rot_pts(query_xyz, Rg) + guess.t)
             # gather every query's 27-voxel candidates once at the guess
             # pose; each outer iteration re-matches against the cache with
             # pure streaming math (see vm.CandidateSet)
@@ -246,14 +261,14 @@ def make_align(cfg: OdometryConfig, axis_name: str | None = None,
                 iter_valid = query_valid
                 if owner_fn is not None:
                     iter_valid = query_valid & owner_fn(
-                        m, query_xyz @ R.T + pose.t)
+                        m, _rot_pts(query_xyz, R) + pose.t)
                 corr = vm.find_correspondences_indexed(
                     m, index, query_xyz, iter_valid, pose.t, R,
                     voxel_size=voxel_size, max_distance=max_dist,
                 )
             n_matches = jnp.sum(corr.valid.astype(jnp.int32))
             # robust mean cost of THIS pose on its own correspondence set
-            p_w = corr.source_local @ R.T + pose.t
+            p_w = _rot_pts(corr.source_local, R) + pose.t
             r = jnp.sum((p_w - corr.plane_origin) * corr.plane_normal, axis=-1)
             absr = jnp.abs(r)
             hub = jnp.where(

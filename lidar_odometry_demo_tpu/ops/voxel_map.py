@@ -13,15 +13,16 @@ capacity int32 table sorted by a packed voxel key:
 - coords packed into a single int32 key (11/11/9 bits for x/y/z) relative
   to a rebasable integer origin; the radius-evicted map (80 m) always fits,
 - EVERYTHING about a voxel lives in one 128-lane row (one TPU lane tile) of a single (C, W)
-  int32 array `tab` — stored points (f32 bitcast), the count (stored f32:
-  search rows carry it), normals, then key/anchor. One array =
-  one layout: per-scan maintenance is ONE elementwise rebuild pass, a
-  handful of small flat element scatters for the incoming points, ONE
-  (C+N_in) key sort, and ONE C-row gather that merge-permutes the table
-  back into key order. (Round-2's physical-row indirection was measured
-  pathological at batch 8: scatters into a 4-D (B,C,K,3) payload lowered
-  to full-array copies, layout transposes, and serialized while-loops —
-  ~8 ms/lane-scan of payload rewriting in the xplane trace.)
+  int32 array `tab` — stored points (f32 bitcast, PLANAR x/y/z lane
+  blocks), the count (stored f32: search rows carry it), normals, then
+  key/anchor. One array = one layout: per-scan maintenance is one fused
+  flat element scatter for the incoming points, ONE (C+N_in) key sort
+  that also carries the post-update key/count vectors, and ONE C-row
+  merge gather with the key/count lanes stamped from the sorted vectors.
+  (Round-2's physical-row indirection was measured pathological at
+  batch 8: scatters into a 4-D (B,C,K,3) payload lowered to full-array
+  copies, layout transposes, and serialized while-loops — ~8 ms/lane-scan
+  of payload rewriting in the xplane trace.)
 - the candidate rows the 27-neighborhood search gathers are a pure SLICE
   of `tab` (no per-scan gather), pre-concatenated into z-triple rows so
   each query column costs ONE gather row instead of three (gathers on
@@ -171,6 +172,15 @@ class Correspondence(NamedTuple):
     plane_origin: jax.Array  # (Q, 3) matched stored point
     plane_normal: jax.Array  # (Q, 3) matched stored normal
     valid: jax.Array         # (Q,)
+
+
+def _rot_pts_exact(pts: jax.Array, R: jax.Array) -> jax.Array:
+    """pts @ R.T as exact elementwise VPU math (the @ operator's default
+    MXU precision is bfloat16 on TPU — ~8 mantissa bits on world
+    coordinates; see ops/icp._rot_pts)."""
+    return jnp.stack(
+        [pts[..., 0] * R[i, 0] + pts[..., 1] * R[i, 1] + pts[..., 2] * R[i, 2]
+         for i in range(3)], axis=-1)
 
 
 def voxel_indices(xyz: jax.Array, voxel_size: float) -> jax.Array:
@@ -886,7 +896,7 @@ def gather_candidates(
     voxel_size: float,
 ) -> CandidateSet:
     """Materialize every query's 27-voxel candidates (one gather/column)."""
-    q_world = query_local @ pose_R.T + pose_t
+    q_world = _rot_pts_exact(query_local, pose_R) + pose_t
     return _gather_neighborhood(
         m, index, q_world, query_valid, voxel_size=voxel_size
     )
@@ -931,7 +941,7 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     K = m.max_points
     RW = cand.rows.shape[-1] // 3
     C = m.capacity
-    q_world = query_local @ pose_R.T + pose_t
+    q_world = _rot_pts_exact(query_local, pose_R) + pose_t
     max_d2 = np.float32(max_distance * max_distance)
     if use_pallas:
         from lidar_odometry_demo_tpu.ops.pallas.correspondence import (
