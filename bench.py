@@ -61,8 +61,9 @@ def main():
     # which would time a no-op.
     times = []
     for rep in range(3):
+        # jitter ON DEVICE (stacked is device-resident; a device_put here
+        # can round-trip host<->device over the tunnel)
         jittered = stacked._replace(xyz=stacked.xyz + np.float32(1e-4 * (rep + 1)))
-        jittered = jax.device_put(jittered)
         _ = float(jnp.sum(jittered.xyz))  # materialize inputs
         t0 = time.time()
         state, diags = run(state0, jittered)
@@ -134,8 +135,8 @@ def main():
         _ = float(jnp.sum(out[0].current.t))
         tb = []
         for rep in range(2):
-            jit_b = jax.device_put(jax.tree.map(jnp.asarray, scans_b)._replace(
-                xyz=scans_b.xyz + np.float32(1e-4 * (rep + 1))))
+            jit_b = scans_b._replace(
+                xyz=scans_b.xyz + np.float32(1e-4 * (rep + 1)))
             _ = float(jnp.sum(jit_b.xyz))
             t0 = time.time()
             out = run_b(state_b0, jit_b)

@@ -683,16 +683,29 @@ def _update_impl(
                   total_rows + jnp.arange(n_in, dtype=jnp.int32))
     ].set(new_count, mode="drop", unique_indices=True)
 
-    # --- merge permute: one 3-array sort + one C-row gather, key/count
-    # lanes stamped from the sorted vectors (fused column writes) ---
+    # --- merge permute: one 3-array sort + one C-row gather whose OUTPUT
+    # is assembled lane-sliced with the sorted key/count vectors (one
+    # concatenate fusing the gather slices = ONE table write; stamping
+    # the lanes afterwards with .at[].set cost two full-table
+    # dynamic-update-slice copies, 0.68 ms/scan in the r4 xplane trace) ---
     iota_ext = jnp.arange(total_rows, dtype=jnp.int32)
     sorted_keys, order, sorted_cnt = jax.lax.sort(
         (keys_ext, iota_ext, count_ext), num_keys=1, is_stable=True)
-    new_tab = tab_ext[order[:C]]
-    new_tab = new_tab.at[:, MB].set(sorted_keys[:C])
-    new_tab = new_tab.at[:, 3 * K].set(
-        jax.lax.bitcast_convert_type(
-            sorted_cnt[:C].astype(jnp.float32), jnp.int32))
+    oc = order[:C]
+    cntf = jax.lax.bitcast_convert_type(
+        sorted_cnt[:C].astype(jnp.float32), jnp.int32)
+    gathered = tab_ext[oc]  # ONE full-row gather (lane-sliced gathers
+    # lowered to a ~33x degraded mode on this chip — r4 bench bisect)
+    new_tab = jnp.concatenate(
+        [
+            gathered[:, : 3 * K],
+            cntf[:, None],
+            gathered[:, 3 * K + 1 : MB],
+            sorted_keys[:C, None],
+            gathered[:, MB + 1 :],
+        ],
+        axis=1,
+    )
     return VoxelMap(tab=new_tab, origin=new_origin, kdim=m.kdim)
 
 
@@ -997,18 +1010,27 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         c_idx = jnp.argmin(bd, axis=1).astype(jnp.int32)  # first min in col order
         zk_idx = jnp.take_along_axis(
             best_zk_row.reshape(Q, 9), c_idx[:, None], axis=1)[:, 0]
-        # winner point: 3-element gather from the raw rows (same shape as
-        # the winner-normal gather; a one-hot re-stream of the 56 MB cache
-        # costs more than 24k gathered elements)
-        win_row = jnp.arange(Q, dtype=jnp.int32) * 9 + c_idx
-        s_win = zk_idx // K
-        k_win = zk_idx % K
-        lane_x = s_win * RW + k_win
-        rows_flat = cand.rows.reshape(QR, 3 * RW)
-        plane_origin = jax.lax.bitcast_convert_type(
-            rows_flat[win_row[:, None],
-                      jnp.stack([lane_x, lane_x + K, lane_x + 2 * K], axis=1)],
-            jnp.float32)
+        # winner point: fused elementwise one-hot sum over a second pass of
+        # the candidate stream. NOT a (Q,3)-element gather from the rows —
+        # that random 2-index gather measured 1.0 ms/scan in the r4 xplane
+        # trace where the streaming one-hot fuses at bandwidth.
+        win_row = (jnp.broadcast_to(
+            jnp.arange(9, dtype=jnp.int32)[None, :], (Q, 9))
+            == c_idx[:, None]).reshape(QR)
+        zk_win = jnp.broadcast_to(zk_idx[:, None], (Q, 9)).reshape(QR)
+        ox = jnp.zeros((Q,), jnp.float32)
+        oy = jnp.zeros((Q,), jnp.float32)
+        oz = jnp.zeros((Q,), jnp.float32)
+        for s in range(3):
+            o = s * RW
+            sel = (win_row & (zk_win // K == s))[:, None] & (
+                ki == (zk_win % K)[:, None])                 # (QR, K)
+            pick = lambda a: jnp.sum(
+                jnp.where(sel, a, 0.0).reshape(Q, 9 * K), axis=1)
+            ox = ox + pick(r2[:, o : o + K])
+            oy = oy + pick(r2[:, o + K : o + 2 * K])
+            oz = oz + pick(r2[:, o + 2 * K : o + 3 * K])
+        plane_origin = jnp.stack([ox, oy, oz], axis=-1)
     k_idx = (zk_idx % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.minimum(
