@@ -37,12 +37,16 @@ def _match_kernel(qw_ref, rows_ref, npres_ref, out_o_ref, out_i_ref,
                   out_d_ref, *, K: int, RW: int, max_d2: float):
     """One grid step handles a tile of T queries.
 
-    qw_ref:    (T, 3) f32        query world positions
-    rows_ref:  (T, 9, 3*RW) i32  raw z-triple candidate rows
-    npres_ref: (T, 9) i32        present voxels per triple
-    out_o_ref: (T, 3) f32        winning candidate point
-    out_i_ref: (T, 1) i32        winning flat (col, z, k) index (first min)
-    out_d_ref: (T, 1) f32        winning gated squared distance
+    ALL refs are 2-D: this chip's Mosaic compiler SIGABRTs on any >=3-D
+    VMEM block spec (bisected on-chip, r4), so the caller flattens the
+    candidate rows to (Q, 9*3*RW) and the kernel reshapes in-register.
+
+    qw_ref:    (T, 3) f32          query world positions
+    rows_ref:  (T, 9*3*RW) i32     raw z-triple candidate rows, flattened
+    npres_ref: (T, 9) i32          present voxels per triple
+    out_o_ref: (T, 3) f32          winning candidate point
+    out_i_ref: (T, 1) i32          winning flat (col, z, k) index (first min)
+    out_d_ref: (T, 1) f32          winning gated squared distance
     """
     T = qw_ref.shape[0]
     qw = qw_ref[:]                                       # (T, 3)
@@ -92,12 +96,13 @@ def match_rows(q_world, rows, n_present, *, max_d2: float, max_points: int,
     assert Q % tile == 0, (Q, tile)
     kern = functools.partial(_match_kernel, K=max_points, RW=RW,
                              max_d2=float(max_d2))
+    rows2d = rows.reshape(Q, 9 * 3 * RW)
     out_o, out_i, out_d = pl.pallas_call(
         kern,
         grid=(Q // tile,),
         in_specs=[
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 9, 3 * RW), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, 9 * 3 * RW), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -112,5 +117,5 @@ def match_rows(q_world, rows, n_present, *, max_d2: float, max_points: int,
             jax.ShapeDtypeStruct((Q, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(q_world, rows, n_present)
+    )(q_world, rows2d, n_present)
     return out_o, out_i[:, 0], out_d[:, 0]

@@ -32,9 +32,10 @@ def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
     sl_ref:   (T, 3) source points (local frame)
     po_ref:   (T, 3) matched plane origins
     pn_ref:   (T, 3) matched plane normals
-    valid_ref:(T,)   f32 0/1 correspondence validity
+    valid_ref:(T, 1) f32 0/1 correspondence validity
     pose_ref: (1, 12) [R row-major (9), t (3)]
-    h_ref:    (1, 6, 6) this tile's partial H
+    h_ref:    (1, 36) this tile's partial H, row-major flattened (2-D
+              blocks only: this chip's Mosaic SIGABRTs on 3-D specs)
     b_ref:    (1, 6)    this tile's partial b
     """
     sl = sl_ref[:]
@@ -51,7 +52,7 @@ def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
     absr = jnp.abs(r)
     w = jnp.where(absr <= huber_delta, 1.0,
                   huber_delta / jnp.maximum(absr, 1e-30))
-    w = w * valid_ref[:]
+    w = w * valid_ref[:, 0]
 
     # J_i = [ (R p_i) x n_i , n_i ]  (T, 6)
     jx = rp[:, 1] * pn[:, 2] - rp[:, 2] * pn[:, 1]
@@ -60,8 +61,9 @@ def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
     J = jnp.stack([jx, jy, jz, pn[:, 0], pn[:, 1], pn[:, 2]], axis=-1)
 
     Jw = J * w[:, None]
-    h_ref[0] = jax.lax.dot_general(  # (6, 6) = J^T (w J)
+    h = jax.lax.dot_general(  # (6, 6) = J^T (w J)
         J, Jw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    h_ref[0] = h.reshape(36)
     b_ref[0] = jax.lax.dot_general(  # (6,) = (w J)^T r
         Jw, r, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -88,19 +90,18 @@ def jtwj_accumulate(source_local, plane_origin, plane_normal, valid,
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 6, 6), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 6, 6), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 36), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 6), jnp.float32),
         ),
         interpret=interpret,
     )(source_local, plane_origin, plane_normal,
-      valid.astype(jnp.float32), pose)
-    return jnp.sum(h_parts, axis=0), jnp.sum(b_parts, axis=0)
+      valid.astype(jnp.float32)[:, None], pose)
+    return jnp.sum(h_parts, axis=0).reshape(6, 6), jnp.sum(b_parts, axis=0)
