@@ -59,11 +59,16 @@ def _match_kernel(qw_ref, rows_ref, npres_ref, out_o_ref, out_i_ref,
     z = r[..., 2 * K : 3 * K]
     cnt = r[..., 3 * K]                                  # (T, 9, 3) f32
     j3 = jax.lax.broadcasted_iota(jnp.int32, (T, 9, 3), 2)
-    kf = jax.lax.broadcasted_iota(jnp.float32, (T, 9, 3, K), 3)
-    ok = (j3 < npres_ref[:][..., None])[..., None] & (kf < cnt[..., None])
-    dx = x - qw[:, 0, None, None, None]
-    dy = y - qw[:, 1, None, None, None]
-    dz = z - qw[:, 2, None, None, None]
+    # int32 iota only (Mosaic rejects float tpu.iota); counts are exact
+    # small floats so the int compare is identical
+    ki = jax.lax.broadcasted_iota(jnp.int32, (T, 9, 3, K), 3)
+    ok = ((j3 < npres_ref[:][..., None])[..., None]
+          & (ki < cnt[..., None].astype(jnp.int32)))
+    # slice+reshape, NOT qw[:, 0, None, None, None]: that mixed
+    # index/newaxis form lowers to a gather Mosaic rejects
+    dx = x - qw[:, 0:1].reshape(T, 1, 1, 1)
+    dy = y - qw[:, 1:2].reshape(T, 1, 1, 1)
+    dz = z - qw[:, 2:3].reshape(T, 1, 1, 1)
     d2 = dx * dx + dy * dy + dz * dz
     gated = jnp.where(ok & (d2 < max_d2), d2, max_d2).reshape(T, 27 * K)
 

@@ -26,18 +26,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
-                 h_ref, b_ref, *, huber_delta: float):
+                 out_ref, *, huber_delta: float):
     """One grid step accumulates a tile of T correspondences.
 
     sl_ref:   (T, 3) source points (local frame)
     po_ref:   (T, 3) matched plane origins
     pn_ref:   (T, 3) matched plane normals
     valid_ref:(T, 1) f32 0/1 correspondence validity
-    pose_ref: (1, 12) [R row-major (9), t (3)]
-    h_ref:    (1, 36) this tile's partial H, row-major flattened (2-D
-              blocks only: this chip's Mosaic SIGABRTs on 3-D specs)
-    b_ref:    (1, 6)    this tile's partial b
+    pose_ref: (1, 128) [R row-major (9), t (3), pad] (lane-tile aligned)
+    out_ref:  (n_tiles, 128) FULL-array block; step i writes row i as
+              [H row-major (36) | b (6) | zeros]. 2-D full blocks only:
+              this chip's Mosaic SIGABRTs on 3-D specs and rejects
+              partial blocks whose dims are not multiples of (8, 128).
     """
+    i = pl.program_id(0)
     sl = sl_ref[:]
     pn = pn_ref[:]
     pose = pose_ref[0]
@@ -63,9 +65,10 @@ def _jtwj_kernel(sl_ref, po_ref, pn_ref, valid_ref, pose_ref,
     Jw = J * w[:, None]
     h = jax.lax.dot_general(  # (6, 6) = J^T (w J)
         J, Jw, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    h_ref[0] = h.reshape(36)
-    b_ref[0] = jax.lax.dot_general(  # (6,) = (w J)^T r
+    b = jax.lax.dot_general(  # (6,) = (w J)^T r
         Jw, r, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    row = jnp.concatenate([h.reshape(36), b, jnp.zeros(86, jnp.float32)])
+    out_ref[pl.ds(i, 1), :] = row[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("huber_delta", "tile",
@@ -81,9 +84,10 @@ def jtwj_accumulate(source_local, plane_origin, plane_normal, valid,
     Q = source_local.shape[0]
     assert Q % tile == 0, (Q, tile)
     n_tiles = Q // tile
-    pose = jnp.concatenate([R.reshape(9), t]).reshape(1, 12)
+    pose = jnp.concatenate(
+        [R.reshape(9), t, jnp.zeros(116, jnp.float32)]).reshape(1, 128)
     kern = functools.partial(_jtwj_kernel, huber_delta=float(huber_delta))
-    h_parts, b_parts = pl.pallas_call(
+    parts = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
@@ -91,17 +95,13 @@ def jtwj_accumulate(source_local, plane_origin, plane_normal, valid,
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 36), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 36), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 6), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((n_tiles, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
         interpret=interpret,
     )(source_local, plane_origin, plane_normal,
       valid.astype(jnp.float32)[:, None], pose)
-    return jnp.sum(h_parts, axis=0).reshape(6, 6), jnp.sum(b_parts, axis=0)
+    acc = jnp.sum(parts, axis=0)
+    return acc[:36].reshape(6, 6), acc[36:42]
