@@ -37,9 +37,11 @@ def _match_kernel(qw_ref, rows_ref, npres_ref, out_o_ref, out_i_ref,
                   out_d_ref, *, K: int, RW: int, max_d2: float):
     """One grid step handles a tile of T queries.
 
-    ALL refs are 2-D: this chip's Mosaic compiler SIGABRTs on any >=3-D
-    VMEM block spec (bisected on-chip, r4), so the caller flattens the
-    candidate rows to (Q, 9*3*RW) and the kernel reshapes in-register.
+    STRICTLY 2-D vectors throughout: this chip's Mosaic build SIGABRTs on
+    >=3-D VMEM BlockSpecs AND rejects in-kernel multi-dim shape casts
+    ("infer-vector-layout: unsupported shape cast" for
+    (T,1728)->(T,9,3,64)), so the 27 candidate slices are unrolled as
+    lane-slice loops over the flattened rows (bisected on-chip, r4).
 
     qw_ref:    (T, 3) f32          query world positions
     rows_ref:  (T, 9*3*RW) i32     raw z-triple candidate rows, flattened
@@ -52,38 +54,49 @@ def _match_kernel(qw_ref, rows_ref, npres_ref, out_o_ref, out_i_ref,
     qw = qw_ref[:]                                       # (T, 3)
     # lax.bitcast_convert_type (same-width) works in both Mosaic and
     # interpret mode; pltpu.bitcast is TPU-only
-    r = jax.lax.bitcast_convert_type(
-        rows_ref[:], jnp.float32).reshape(T, 9, 3, RW)
-    x = r[..., 0:K]                                      # planar lane slices
-    y = r[..., K : 2 * K]
-    z = r[..., 2 * K : 3 * K]
-    cnt = r[..., 3 * K]                                  # (T, 9, 3) f32
-    j3 = jax.lax.broadcasted_iota(jnp.int32, (T, 9, 3), 2)
-    # int32 iota only (Mosaic rejects float tpu.iota); counts are exact
-    # small floats so the int compare is identical
-    ki = jax.lax.broadcasted_iota(jnp.int32, (T, 9, 3, K), 3)
-    ok = ((j3 < npres_ref[:][..., None])[..., None]
-          & (ki < cnt[..., None].astype(jnp.int32)))
-    # slice+reshape, NOT qw[:, 0, None, None, None]: that mixed
-    # index/newaxis form lowers to a gather Mosaic rejects
-    dx = x - qw[:, 0:1].reshape(T, 1, 1, 1)
-    dy = y - qw[:, 1:2].reshape(T, 1, 1, 1)
-    dz = z - qw[:, 2:3].reshape(T, 1, 1, 1)
-    d2 = dx * dx + dy * dy + dz * dz
-    gated = jnp.where(ok & (d2 < max_d2), d2, max_d2).reshape(T, 27 * K)
+    f = jax.lax.bitcast_convert_type(rows_ref[:], jnp.float32)
+    npres = npres_ref[:]
+    qx = qw[:, 0:1]
+    qy = qw[:, 1:2]
+    qz = qw[:, 2:3]
+    ki = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
 
-    best_d = jnp.min(gated, axis=-1, keepdims=True)      # (T, 1)
-    # first minimum in candidate order (matches reference scan order)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, gated.shape, 1)
-    first = jnp.min(
-        jnp.where(gated <= best_d, cidx, 27 * K - 1), axis=-1, keepdims=True)
-    pick = (cidx == first).reshape(T, 9, 3, K)           # one-hot
+    best_d = jnp.full((T, 1), max_d2, jnp.float32)
+    best_i = jnp.zeros((T, 1), jnp.int32)
+    slices = []
+    for c in range(9):
+        for sz in range(3):
+            o = (c * 3 + sz) * RW
+            xs = f[:, o : o + K]
+            ys = f[:, o + K : o + 2 * K]
+            zs = f[:, o + 2 * K : o + 3 * K]
+            cnt = f[:, o + 3 * K : o + 3 * K + 1]
+            ok = (npres[:, c : c + 1] > sz) & (ki < cnt.astype(jnp.int32))
+            dx = xs - qx
+            dy = ys - qy
+            dz = zs - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            d2 = jnp.where(ok & (d2 < max_d2), d2, max_d2)
+            mn = jnp.min(d2, axis=1, keepdims=True)
+            kw = jnp.min(jnp.where(d2 <= mn, ki, K - 1), axis=1,
+                         keepdims=True)
+            better = mn < best_d          # strict: earlier slice wins ties
+            best_i = jnp.where(better, (c * 3 + sz) * K + kw, best_i)
+            best_d = jnp.minimum(best_d, mn)
+            slices.append((o, xs, ys, zs))
 
-    out_o_ref[:] = jnp.stack(
-        [jnp.sum(jnp.where(pick, c, 0.0), axis=(1, 2, 3)) for c in (x, y, z)],
-        axis=-1,
-    )
-    out_i_ref[:] = first
+    # winner coordinates: unrolled one-hot over the same slices
+    ox = jnp.zeros((T, 1), jnp.float32)
+    oy = jnp.zeros((T, 1), jnp.float32)
+    oz = jnp.zeros((T, 1), jnp.float32)
+    for idx, (o, xs, ys, zs) in enumerate(slices):
+        pick = ki == (best_i - idx * K)   # (T, K); out-of-range -> no hit
+        ox = ox + jnp.sum(jnp.where(pick, xs, 0.0), axis=1, keepdims=True)
+        oy = oy + jnp.sum(jnp.where(pick, ys, 0.0), axis=1, keepdims=True)
+        oz = oz + jnp.sum(jnp.where(pick, zs, 0.0), axis=1, keepdims=True)
+
+    out_o_ref[:] = jnp.concatenate([ox, oy, oz], axis=1)
+    out_i_ref[:] = best_i
     out_d_ref[:] = best_d
 
 
