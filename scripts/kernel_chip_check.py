@@ -61,8 +61,17 @@ def pls_loop(qj, rowsj, npresj):
     return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
 
-xm = timeit("match XLA x100", xla_loop, q, rows, npres)
-pm = timeit("match PALLAS x100", pls_loop, q, rows, npres)
+def safe(name, *a):
+    try:
+        return timeit(name, *a)
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:140]}",
+              flush=True)
+        return None
+
+
+xm = safe("match XLA x100", xla_loop, q, rows, npres)
+pm = safe("match PALLAS x100", pls_loop, q, rows, npres)
 
 sl = jnp.asarray(rng.uniform(-20, 20, (Q, 3)).astype(np.float32))
 pn0 = rng.normal(0, 1, (Q, 3)).astype(np.float32)
@@ -103,6 +112,6 @@ def pj_loop(slj):
     return jax.lax.fori_loop(0, 100, body, jnp.float32(0))
 
 
-xj = timeit("jtwj XLA x100", xj_loop, sl)
-pj = timeit("jtwj PALLAS x100", pj_loop, sl)
-print(f"RESULT match {xm:.3f}->{pm:.3f} ms; jtwj {xj:.3f}->{pj:.3f} ms", flush=True)
+xj = safe("jtwj XLA x100", xj_loop, sl)
+pj = safe("jtwj PALLAS x100", pj_loop, sl)
+print(f"RESULT match {xm}->{pm} ms; jtwj {xj}->{pj} ms", flush=True)
