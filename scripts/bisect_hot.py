@@ -1,7 +1,10 @@
-"""Focused TPU timing of the three ops touched by the r4 optimizations:
-match_candidates (hierarchical select), build_search_index (desc scan),
-map_update (vector-merge). Prints each number as soon as it exists;
-min-of-reps filters device contention bursts.
+"""Focused TPU timing of the hot ops. WARNING: numbers are UNRELIABLE
+for loop-invariant benches — XLA CSE/hoisting computes fn(*args) ONCE
+and the fori_loop degenerates to adds (discovered r4: build_search_index
+"measured" 0.12 ms against a 2.1 ms trace truth). Only i-dependent
+formulations (scripts/kernel_chip_check.py style) or xplane traces
+(scripts/device_time_report.py) give honest per-op numbers; E2E truth is
+bench.py. Kept for its warm-up/scaffold value.
 
 Usage: python scripts/bisect_hot.py [iters=50]
 """

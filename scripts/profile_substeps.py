@@ -1,8 +1,12 @@
 """Amortized sub-step timings of the odometry hot path on realistic state.
 
-Builds a realistic 10-scan map, then times each pipeline sub-step in an
-N-iteration fori_loop inside one jit program (the ~25 ms dispatch floor
-divides away). Run single-lane and vmapped x8.
+WARNING (r4 finding): the fori_loop bodies here are LOOP-INVARIANT, so
+XLA CSE/hoisting can compute each sub-step ONCE and degenerate the loop
+to adds — several numbers under-report badly (build_search_index read
+0.12 ms against a 2.1 ms xplane-trace truth). Use
+scripts/device_time_report.py (xplane) for honest per-op device times and
+bench.py for E2E; i-dependent loops (scripts/kernel_chip_check.py style)
+for micro A/Bs.
 
 Usage: python scripts/profile_substeps.py [B]
 """
