@@ -74,6 +74,11 @@ class OdometryConfig:
     # fused Pallas kernel (ops/pallas/jtwj.py — the reference's
     # cloud_matcher.cpp:48-102 math as one streaming pass). Identical
     # results; requires max_match_points % 1024 == 0 and a TPU backend.
+    # NOTE: the remote-tunnel Mosaic compiler on the chip this repo is
+    # benched on REJECTS the kernel (DESIGN.md §Pallas); make_align probes
+    # the toolchain once and falls back to the XLA path with a
+    # RuntimeWarning instead of failing the pipeline compile, so setting
+    # this is safe everywhere but only takes effect where Mosaic accepts.
     icp_use_pallas_jtwj: bool = False
 
     # --- reference hard-coded classifier constants (src/utils/cloud_classifier.h) ---

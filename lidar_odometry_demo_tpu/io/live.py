@@ -51,7 +51,16 @@ class ScanAssembler:
         az = packet_azimuth_centideg(pkt)
         done = None
         if self._last_az is not None:
-            self._swept += (az - self._last_az) % 36000
+            delta = (az - self._last_az) % 36000
+            # UDP gives no ordering guarantee: a reordered/duplicated-late
+            # packet whose azimuth sits slightly BEHIND the previous one
+            # would wrap to a near-full sweep (~35,9xx centideg) and cut
+            # the revolution early. Treat large wrapped deltas as zero
+            # motion (a real sweep between consecutive packets is a few
+            # hundred centidegrees at most).
+            if delta > 34000:
+                delta = 0
+            self._swept += delta
             if self._swept >= 36000.0 and self._packets:
                 done = b"".join(self._packets)
                 self._packets = []

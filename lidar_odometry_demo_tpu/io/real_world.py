@@ -60,7 +60,10 @@ def splat_scan(world_xyz: np.ndarray, poses_tq: list, width: int,
         # col = floor((atan2(-y, x) + pi) * W / 2pi)
         az = np.arctan2(-local[:, 1], local[:, 0]) + np.pi
         col = np.floor(az * width / (2 * np.pi)).astype(int) % width
-        sel = in_fan & (col // cols_per_block == min(b, n_blocks - 1))
+        # clamp the COLUMN side so the width % n_blocks remainder columns
+        # fall into the last block (clamping b instead silently dropped
+        # columns >= n_blocks * cols_per_block from every scan)
+        sel = in_fan & (np.minimum(col // cols_per_block, n_blocks - 1) == b)
         local, rng, ring, col = local[sel], rng[sel], ring[sel], col[sel]
         # z-buffer: nearest point per (ring, col) cell
         cell = ring * width + col

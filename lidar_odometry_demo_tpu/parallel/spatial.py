@@ -169,6 +169,13 @@ def make_spatial_step(cfg, mesh, axis: str = "sp"):
         f = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(axis), P()), out_specs=(P(axis), P()),
+            # check_vma=False opts out of JAX's static collective
+            # correctness checking (the per-shard state pytree mixes
+            # device-varying shards with replicated pose scalars the
+            # checker cannot type). The psum/ppermute contracts are
+            # instead pinned dynamically by the bit-identity tests
+            # (tests/test_spatial.py: spatial-vs-single exactness) —
+            # re-run those before touching any collective here.
             check_vma=False,
         )
         return f(state_sh, scan)
@@ -198,6 +205,13 @@ def make_spatial_sequence_runner(cfg, mesh, axis: str = "sp"):
         f = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(axis), P()), out_specs=(P(axis), P()),
+            # check_vma=False opts out of JAX's static collective
+            # correctness checking (the per-shard state pytree mixes
+            # device-varying shards with replicated pose scalars the
+            # checker cannot type). The psum/ppermute contracts are
+            # instead pinned dynamically by the bit-identity tests
+            # (tests/test_spatial.py: spatial-vs-single exactness) —
+            # re-run those before touching any collective here.
             check_vma=False,
         )
         return f(state_sh, scans)
@@ -237,6 +251,13 @@ def make_batched_spatial_sequence_runner(cfg, mesh, dp_axis: str = "dp",
             local, mesh=mesh,
             in_specs=(P(dp_axis, sp_axis), P(None, dp_axis)),
             out_specs=(P(dp_axis, sp_axis), P(None, dp_axis)),
+            # check_vma=False opts out of JAX's static collective
+            # correctness checking (the per-shard state pytree mixes
+            # device-varying shards with replicated pose scalars the
+            # checker cannot type). The psum/ppermute contracts are
+            # instead pinned dynamically by the bit-identity tests
+            # (tests/test_spatial.py: spatial-vs-single exactness) —
+            # re-run those before touching any collective here.
             check_vma=False,
         )
         return f(state_sh, scans_sh)

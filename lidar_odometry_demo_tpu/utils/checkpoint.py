@@ -70,13 +70,28 @@ def _assemble_tab(keys, count, pts, nrm, anchor) -> vm.VoxelMap:
     return tab
 
 
+def _check_tab_width(z, version: int, expected: int) -> None:
+    """Same descriptive error the v5 load branch raises: a truncated or
+    malformed legacy npz must fail HERE, not be reinterpreted with
+    key/count/anchor sliced from the wrong lanes (ADVICE r4 #4)."""
+    got = z["keyframe.tab"].shape[-1]
+    if got != expected:
+        k = np.asarray(z["keyframe.kdim"]).shape[-1]
+        raise ValueError(
+            f"v{version} checkpoint table width {got} does not match the "
+            f"K={k} lane layout width {expected}"
+        )
+
+
 def _migrate_v3(z) -> vm.VoxelMap:
     """Round-3 136-lane fused table -> v4 128-lane table (drop the int
     count lane; key and anchor shift down one lane)."""
     kdim = np.asarray(z["keyframe.kdim"], np.int32)
     k = kdim.shape[-1]
-    tab_old = np.asarray(z["keyframe.tab"], np.int32)
     rw = -(-(3 * k + 1) // 8) * 8
+    mb_chk = -(-(rw + 3 * k) // 8) * 8
+    _check_tab_width(z, 3, -(-(mb_chk + 5) // 8) * 8)
+    tab_old = np.asarray(z["keyframe.tab"], np.int32)
     mb_old = -(-(rw + 3 * k) // 8) * 8  # v3: key, int count, anchor
     keys = tab_old[:, mb_old]
     count = tab_old[:, mb_old + 1]
@@ -96,6 +111,7 @@ def _migrate_v4(z) -> vm.VoxelMap:
     (same widths for every K; only lanes [0:3K) reorder)."""
     kdim = np.asarray(z["keyframe.kdim"], np.int32)
     k = kdim.shape[-1]
+    _check_tab_width(z, 4, vm._lanes(k)[2])  # v4 width == v5 width
     tab = np.asarray(z["keyframe.tab"], np.int32).copy()
     pts_il = tab[:, : 3 * k].view(np.float32).reshape(-1, k, 3)
     tab[:, : 3 * k] = np.swapaxes(pts_il, 1, 2).reshape(-1, 3 * k).view(np.int32)

