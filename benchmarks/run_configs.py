@@ -25,6 +25,20 @@ def _force(*xs):
     return sum(float(jnp.sum(x.astype(jnp.float32))) for x in xs)
 
 
+def _timed_min(call, reps=3):
+    """bench.py's steady-state protocol: jittered inputs per rep (identical
+    dispatch args can be result-cached by the runtime), min of `reps` (the
+    first post-compile dispatch runs ~2-4x slow on the tunneled chip, so a
+    single-run timing is not comparable across programs — VERDICT r4 weak
+    #2). `call(rep)` must jitter its inputs by rep and block via _force."""
+    ts = []
+    for rep in range(reps):
+        t0 = time.time()
+        call(rep)
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
 def config1():
     """Reference MatchingTest scenario on the bundled PCD (test.cpp:191-263)."""
     import numpy as np
@@ -65,7 +79,13 @@ def config1():
     m = vm.map_init(1 << 16, 20)
     m = vm.map_insert(m, pn, voxel_size=0.25)
     sub = vm.downsample(pn, voxel_size=0.5, budget=4096)
-    cfg = OdometryConfig(keyframe_voxel_size=0.25)
+    # exact re-search per outer round: the cached-candidate fast path is a
+    # WARM-guess odometry optimization; this scenario is a 0.17 m cold
+    # perturbation where the guess-pose neighborhoods go stale (same
+    # reasoning as tests/test_real_scan.py; per-guess evidence in
+    # benchmarks/ICP_MARGIN_r05.json — cached costs ~7 mm here)
+    cfg = OdometryConfig(keyframe_voxel_size=0.25,
+                         icp_cached_candidates=False)
 
     guess = se3.Pose(
         jnp.asarray([0.1, -0.1, 0.05], jnp.float32),
@@ -74,11 +94,16 @@ def config1():
     moved = se3.transform_points(se3.inverse(guess), sub.xyz)
     res = icp.align(m, moved, sub.valid, se3.Pose.identity(), cfg)  # warm
     _force(res.pose.t)
-    reps, t0 = 5, time.time()
-    for i in range(reps):
-        res = icp.align(m, moved + np.float32(1e-5 * i), sub.valid, se3.Pose.identity(), cfg)
-        _force(res.pose.t)
-    dt = (time.time() - t0) / reps
+    out = {}
+
+    def call(rep):
+        r = icp.align(m, moved + np.float32(1e-5 * (rep + 1)), sub.valid,
+                      se3.Pose.identity(), cfg)
+        _force(r.pose.t)
+        out["res"] = r
+
+    dt = _timed_min(call, reps=5)
+    res = out["res"]
     err = se3.relative_to(res.pose, guess)
     return {
         "metric": "config1_icp_align_ms",
@@ -116,10 +141,16 @@ def _run_sequence(num_scans, batch=1):
         state0 = odometry.init_state(cfg)
         state, diags = run(state0, stacked)
         _force(state.current.t)
-        t0 = time.time()
-        state, diags = run(state0, stacked._replace(xyz=stacked.xyz + np.float32(1e-4)))
-        _force(state.current.t, state.keyframe.count)
-        dt = time.time() - t0
+        result = {}
+
+        def call(rep):
+            s, d = run(state0, stacked._replace(
+                xyz=stacked.xyz + np.float32(1e-4 * (rep + 1))))
+            _force(s.current.t, s.keyframe.count)
+            result["diags"] = d
+
+        dt = _timed_min(call)
+        diags = result["diags"]
         est = np.asarray(diags.pose.t)
         g0 = Rotation.from_quat([drive.gt_q[0][1], drive.gt_q[0][2], drive.gt_q[0][3], drive.gt_q[0][0]])
         ate = ate_rmse(est, g0.inv().apply(drive.gt_t - drive.gt_t[0]), align=True)
@@ -135,11 +166,13 @@ def _run_sequence(num_scans, batch=1):
         state_b = batched.init_batched_state(cfg, batch)
         out_state, _ = run(state_b, scans_b)
         _force(out_state.current.t)
-        t0 = time.time()
-        out_state, _ = run(state_b, jax.tree.map(lambda x: x, scans_b)._replace(
-            xyz=scans_b.xyz + np.float32(1e-4)))
-        _force(out_state.current.t, out_state.keyframe.count)
-        dt = time.time() - t0
+
+        def call(rep):
+            s, _ = run(state_b, scans_b._replace(
+                xyz=scans_b.xyz + np.float32(1e-4 * (rep + 1))))
+            _force(s.current.t, s.keyframe.count)
+
+        dt = _timed_min(call)
         return num_scans * batch / dt, None
 
 
@@ -214,10 +247,18 @@ def config5(args):
 
     t, q = call()
     _force(t)
-    t0 = time.time()
-    t, q = call()
-    _force(t)
-    dt = time.time() - t0
+    out = {}
+
+    def timed_call(rep):
+        # jitter the pose inputs sub-mm so the runtime cannot result-cache
+        tj, qj = run(g.poses.t + np.float32(1e-6 * (rep + 1)), g.poses.q,
+                     g.edge_i, g.edge_j, g.edge_z.t, g.edge_z.q,
+                     g.edge_w_rot, g.edge_w_t, g.edge_valid)
+        _force(tj)
+        out["t"] = tj
+
+    dt = _timed_min(timed_call)
+    t = out["t"]
     after = float(np.sqrt(np.mean(np.sum((np.asarray(t) - gt_t) ** 2, -1))))
     return {"metric": "config5_distributed_segment_schur_refine_ms",
             "value": round(1e3 * dt, 1), "unit": "ms",
@@ -257,10 +298,13 @@ def config6(args):
     state0 = spatial.init_spatial_state(cfg, 1)
     state, diags = run(state0, stacked)
     _force(state.current.t)
-    t0 = time.time()
-    state, diags = run(state0, stacked._replace(xyz=stacked.xyz + np.float32(1e-4)))
-    _force(state.current.t, state.keyframe.count)
-    dt = time.time() - t0
+
+    def call(rep):
+        s, _ = run(state0, stacked._replace(
+            xyz=stacked.xyz + np.float32(1e-4 * (rep + 1))))
+        _force(s.current.t, s.keyframe.count)
+
+    dt = _timed_min(call)
     sps = num_scans / dt
     return {"metric": "config6_spatial_mode_single_chip_scans_per_sec",
             "value": round(sps, 2), "unit": "scans/s",

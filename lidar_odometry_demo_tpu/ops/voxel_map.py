@@ -367,37 +367,71 @@ class SearchIndex(NamedTuple):
 
     The voxel table is frozen for the whole ICP loop, so we precompute once:
 
-    dense: (G*G + 1,) int32 — per (x, y) column, the sorted-table slot of
-        the column's FIRST voxel (columns are consecutive runs in the
-        key-sorted table), or _PTR_EMPTY. Pointer-only on purpose: a dense
-        1M-row directory holding the z-masks inline costs ~10 ms/lane-scan
-        in buffer init/rewrite at batch 8 (xplane trace); a 4 MB pointer
-        grid + the compact `desc` below costs ~1 ms. Row G*G is the
-        always-empty overflow cell.
+    dense: (_NROW2 + 1, 8) int32 — the column pointer grid in 2-D
+        T(8, 128)-tiled form: the (x, y) cell space is front-padded by 8
+        (padded cell p = gx*G + gy + 8) and row j holds the sorted-table
+        slots of the column leaders at padded cells [8j, 8j + 8)
+        (_PTR_EMPTY elsewhere; the final row is all-empty padding so row
+        pairs (j, j+1) are always in range). 2-D ON PURPOSE, twice over:
+        (a) the r4 flat (G*G+1,) 1-D grid made BOTH ends pathological on
+        this chip — the build's 1-D scatter ran at ~134 M elem/s vs ~440
+        M for 2-index scatters into T(8,128) arrays, and 1-D<->2-D
+        retiling reshapes moved 4 MB at ~27 GB/s (r5 xplane trace); (b)
+        lookups become 8-lane ROW gathers + unrolled VPU lane selects —
+        measured ~15-35x faster than (Q*9)-element scalar gathers from
+        the flat grid (scripts/r05_primitives.py). An 8-aligned row of
+        the padded cell space never straddles columns (G = 1024 is
+        8-divisible), so the spatial composite selects whole rows by
+        owner (parallel/spatial.py).
     desc: (C, ZWORDS) int32 — at each column-leader slot, the column's
         256-bit z-occupancy bitmask (garbage elsewhere; only leader slots
         are ever dereferenced). A query resolves voxel (x, y, z) to its
-        exact table slot as `ptr + popcount(bits below z)` — one element
-        gather + one 8-wide row gather + VPU popcounts, instead of a
-        17-step binary search per column (searchsorted measured ~4x slower
-        on TPU, and its XLA lowering costs ~10 ms per scan in map_update).
-    rows3: (C, 3*RW) int32 — z-TRIPLE candidate rows: row i is the
-        concatenation of tab rows i, i+1, i+2's search lanes
-        ([pts | cnt_f], RW lanes each, f32 bitcast). Within a column the
-        (z-1, z, z+1) voxels occupy consecutive table slots, so ONE rows3
-        gather per query column fetches all three — 3x fewer gather rows
-        (the binding resource: ~85M rows/s at batch 8 regardless of row
-        width; measured 2.6 -> 1.2 ms/lane). Built from `tab` by two
-        shifted slices — no gather.
+        exact table slot as `ptr + popcount(bits below z)` — row gathers
+        + VPU popcounts, instead of a 17-step binary search per column
+        (searchsorted measured ~4x slower on TPU, and its XLA lowering
+        costs ~10 ms per scan in map_update).
+    rows: (C + 2, RW) int32 — the per-slot search lanes
+        ([pts planar | cnt_f], RW lanes, f32 bitcast) + 2 zero pad rows.
+        The neighborhood search gathers the (z-1, z, z+1) voxels of a
+        column as THREE narrow row gathers at slots base/base+1/base+2:
+        64-lane rows gather at ~677 M rows/s on this chip vs ~90 M rows/s
+        for the r4 192-lane z-triple rows (scripts/r05_primitives.py), so
+        3x the row count is 2.5x FASTER — and the 0.5 ms/scan triple-row
+        build disappears (this is a plain slice of tab).
     """
 
     dense: jax.Array
     desc: jax.Array
-    rows3: jax.Array
+    rows: jax.Array
+
+
+# dense grid geometry: cells are looked up in a front-padded space
+# p = cell + 8 so that cell -1 (gy = 0's dy = -1 neighbor) still lands in
+# a valid row; row j covers padded cells [8j, 8j + 8).
+_NROW2 = (_G * _G) // 8 + 1
+
+
+def _lane_select(rows8a, rows8b, lane0, n_out: int):
+    """Values at virtual lanes lane0 .. lane0+n_out-1 of the 16-lane
+    window [rows8a | rows8b], via unrolled VPU selects (lane0 in [0, 8))."""
+    outs = []
+    for d in range(n_out):
+        v = jnp.full(lane0.shape, _PTR_EMPTY, jnp.int32)
+        for l in range(8):
+            src = rows8a[..., l + d] if l + d < 8 else rows8b[..., l + d - 8]
+            v = jnp.where(lane0 == l, src, v)
+        outs.append(v)
+    return outs
+
+
+def _search_rows(tab: jax.Array, RW: int) -> jax.Array:
+    """(C, W) table -> (C + 2, RW) padded search-lane rows (pure slice)."""
+    return jnp.concatenate(
+        [tab[:, :RW], jnp.zeros((2, RW), jnp.int32)], axis=0)
 
 
 def build_search_index(m: VoxelMap) -> SearchIndex:
-    """Build the per-scan column directory + z-triple candidate rows."""
+    """Build the per-scan column directory + candidate row view."""
     C, K = m.capacity, m.max_points
     RW, _, _ = _lanes(K)
     keys = m.keys
@@ -423,13 +457,19 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
     iota = jnp.arange(C, dtype=jnp.int32)
     start = jax.lax.associative_scan(jnp.maximum, jnp.where(leader, iota, -1))
 
-    # dense pointer grid: one scalar scatter (leaders only; one per column)
-    dense = jnp.full((_G * _G + 1,), _PTR_EMPTY, jnp.int32)
+    # dense pointer grid: one 2-index scatter into the (row, lane) form
+    # (leaders only; one per column). Distinct leader cells -> distinct
+    # (row, lane) targets; masked entries get distinct OOB rows so the
+    # uniqueness promise holds. Flat 1-D scatters into a (G*G,) grid ran
+    # ~4x slower on this chip and forced 1-D<->2-D retiling passes
+    # downstream (r5 xplane trace) — stay 2-D end to end.
+    p = cell + 8                                  # front-padded cell space
+    dense = jnp.full((_NROW2 + 1, 8), _PTR_EMPTY, jnp.int32)
     dense = dense.at[
-        jnp.where(leader, cell, _G * _G + 1 + iota)  # distinct OOB per row
+        jnp.where(leader, jax.lax.shift_right_logical(p, 3),
+                  _NROW2 + 1 + iota),
+        p & 7,
     ].set(iota, mode="drop", unique_indices=True)
-    # the overflow cell must stay empty (invalid queries point there)
-    dense = dense.at[_G * _G].set(_PTR_EMPTY)
 
     # compact z-occupancy at leader slots. Two formulations, switchable
     # for on-chip A/B (LIDAR_DESC_SCAN=1):
@@ -460,20 +500,19 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
         scanned, _ = jax.lax.associative_scan(_seg_or, (vals_f, flags_f))
         desc = jnp.flip(scanned, 0)
     else:
-        # one flat scalar scatter-add (z unique per voxel within a
-        # column, so add == or; bit 31 wraps to int32 min — the right bit
-        # pattern; int32 throughout, see EMPTY_KEY)
-        desc_flat = jnp.zeros((C * _ZWORDS,), jnp.int32)
-        desc_flat = desc_flat.at[
-            jnp.where(in_win, start * _ZWORDS + word, C * _ZWORDS)
+        # one 2-index scatter-add (z unique per voxel within a column, so
+        # add == or; bit 31 wraps to int32 min — the right bit pattern;
+        # int32 throughout, see EMPTY_KEY). 2-D target on purpose — the
+        # r4 flat (C*ZWORDS,) scatter hit the 1-D scatter slow path +
+        # retile reshape (see the dense grid note above).
+        desc = jnp.zeros((C + 1, _ZWORDS), jnp.int32)
+        desc = desc.at[
+            jnp.where(in_win, start, C), word
         ].add(jnp.where(in_win, bit, 0), mode="drop")
-        desc = desc_flat.reshape(C, _ZWORDS)
+        desc = desc[:C]
 
-    # z-triple candidate rows: pure slices of tab, no gather
-    rows = m.tab[:, :RW]
-    rp = jnp.concatenate([rows, jnp.zeros((2, RW), jnp.int32)], axis=0)
-    rows3 = jnp.concatenate([rp[0:C], rp[1 : C + 1], rp[2 : C + 2]], axis=1)
-    return SearchIndex(dense=dense, desc=desc, rows3=rows3)
+    return SearchIndex(dense=dense, desc=desc,
+                       rows=_search_rows(m.tab, RW))
 
 
 def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
@@ -530,8 +569,17 @@ def _directory_lookup(
         valid_e & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
         & (z >= 0) & (z < 2 * _DIR_ZHALF)
     )
-    cell = jnp.where(in_win, gx * _G + gy, _G * _G)
-    start = index.dense[cell]                # (N,) leader slot or EMPTY
+    # dense-grid row gather + unrolled lane select (a scalar gather from
+    # a flat 1M grid runs ~15x slower — scripts/r05_primitives.py)
+    cidx = gx * _G + gy + 8                  # front-padded cell space
+    j = jnp.clip(jax.lax.shift_right_logical(
+        jnp.maximum(cidx, 0), 3), 0, _NROW2)
+    lane = cidx & 7
+    row8 = index.dense[j]                    # (N, 8)
+    start = jnp.full(cidx.shape, _PTR_EMPTY, jnp.int32)
+    for l in range(8):
+        start = jnp.where(lane == l, row8[..., l], start)
+    start = jnp.where(in_win, start, _PTR_EMPTY)
     got = start != _PTR_EMPTY
     start_c = jnp.where(got, start, 0)
     zmask = index.desc[start_c]              # (N, ZWORDS)
@@ -822,7 +870,7 @@ def _neighborhood_slots(
     matches the reference's (column, z) neighbor order exactly
     (voxel_grid.h:175-177).
     """
-    C = index.rows3.shape[0]
+    C = m.capacity
     Q = q_world.shape[0]
     base_idx = voxel_indices(q_world, voxel_size) - m.origin  # relative (Q, 3)
     col_xy = base_idx[:, None, :2] + _COLUMN_OFFSETS[None, :, :2]  # (Q, 9, 2)
@@ -833,10 +881,28 @@ def _neighborhood_slots(
         query_valid[:, None]
         & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
     )
-    cell = jnp.where(col_ok, gx * _G + gy, _G * _G)  # overflow row: empty
 
-    # two-hop lookup: pointer grid then compact leader descriptors
-    start = index.dense[cell.reshape(-1)].reshape(Q, 9)     # (Q, 9) or EMPTY
+    # pointer lookup via the 2-D dense grid: per (query, dx) TWO 8-lane
+    # row gathers cover all three dy-adjacent cells (cells c-1, c, c+1
+    # always fall inside the 16-lane window starting at cell c-1's
+    # 8-block); lanes come out with unrolled VPU selects. Replaces the
+    # (Q*9)-element scalar gather from the flat 1M grid — measured
+    # 15-35x slower (scripts/r05_primitives.py). Out-of-range columns
+    # read garbage lanes but are masked by col_ok.
+    gy0 = base_idx[:, 1] + _GHALF                  # (Q,)
+    start_cols = []
+    for dx in (-1, 0, 1):
+        gxd = base_idx[:, 0] + _GHALF + dx
+        cidx = gxd * _G + gy0 - 1 + 8              # front-padded cell space
+        j = jnp.clip(jax.lax.shift_right_logical(
+            jnp.maximum(cidx, 0), 3), 0, _NROW2 - 1)
+        lane0 = cidx & 7
+        ra = index.dense[j]                        # (Q, 8)
+        rb = index.dense[j + 1]                    # (Q, 8)
+        start_cols.extend(_lane_select(ra, rb, lane0, 3))  # dy = -1, 0, +1
+    # (Q, 9) in (dx, dy) order — identical to _COLUMN_OFFSETS scan order
+    start = jnp.stack(start_cols, axis=1)
+    start = jnp.where(col_ok, start, _PTR_EMPTY)
     got = start != _PTR_EMPTY
     start_c = jnp.where(got, start, 0)
     zmask = index.desc[start_c.reshape(-1)].reshape(Q, 9, _ZWORDS)
@@ -871,28 +937,35 @@ class CandidateSet(NamedTuple):
     tests/test_voxel_map.py::test_cached_candidates_match_exact_search and
     trajectory-level vs the oracle in tests/test_oracle_equivalence.py).
 
-    The cache IS the raw gathered z-triple rows, in the gather's native
-    int32 (Q*9, 3*RW) layout — no unpacking. Every per-round consumer
-    slices the planar coordinate lanes directly (see _lanes); converting
-    to a (Q, 27, K, 3) point tensor here cost ~1.9 ms/scan of re-tiling
-    copies in the r3 xplane trace.
+    The cache IS the raw gathered rows, in the gather's native int32
+    (Q*9, RW) layout — no unpacking. Every per-round consumer slices the
+    planar coordinate lanes directly (see _lanes); converting to a
+    (Q, 27, K, 3) point tensor here cost ~1.9 ms/scan of re-tiling copies
+    in the r3 xplane trace. The three z-slices are SEPARATE narrow
+    arrays, not one 3*RW-lane triple row: on this chip 64-lane row
+    gathers run ~7.5x faster than 192-lane ones (677 vs 90 M rows/s,
+    scripts/r05_primitives.py), so three narrow gathers beat one wide
+    gather 2.5x — and no per-scan triple-row build exists at all.
 
-    rows:      (Q, 9, 3*RW) int32 raw candidate rows, (col, z) in
-               reference scan order within each row triple
+    rows_z:    3-tuple of (Q*9, RW) int32 raw candidate rows for the
+               z-1 / z / z+1 slot of each query column ((col) in
+               reference scan order; slot s of column j is real iff
+               s < n_present[j])
     base:      (Q, 9)  clamped table slot of each column's first present
                voxel at z >= z_query - 1
     n_present: (Q, 9)  how many of the z-1/z/z+1 voxels exist (slot j of
                a triple is a real candidate iff j < n_present)
     """
 
-    rows: jax.Array
+    rows_z: tuple
     base: jax.Array
     n_present: jax.Array
 
 
 def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
-    """One rows3 gather per query column -> raw (Q, 9, 3*RW) candidate
-    rows in reference (col, z, insertion) order + triple structure.
+    """Three narrow row gathers per query column -> raw (Q*9, RW)
+    candidate row arrays in reference (col, z, insertion) order + triple
+    structure.
 
     The triple stays in SLOT order: within a column the sorted table is
     ascending in z, so slots base..base+n_present-1 are exactly the
@@ -901,13 +974,12 @@ def _gather_neighborhood(m, index, q_world, query_valid, *, voxel_size):
     itself in the r3 xplane trace: ~3 ms/lane-scan of layout copies at
     batch 8). Slot j of a triple is masked unless j < n_present.
     """
-    RW3 = index.rows3.shape[1]
-    Q = q_world.shape[0]
     base, n_present = _neighborhood_slots(
         m, index, q_world, query_valid, voxel_size=voxel_size
     )
-    rows = index.rows3[base.reshape(-1)].reshape(Q, 9, RW3)  # THE gather
-    return CandidateSet(rows=rows, base=base, n_present=n_present)
+    bflat = base.reshape(-1)
+    rows_z = tuple(index.rows[bflat + s] for s in range(3))
+    return CandidateSet(rows_z=rows_z, base=base, n_present=n_present)
 
 
 def gather_candidates(
@@ -962,9 +1034,9 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     materialized ONCE per scan by the caller (deriving it from the table
     in here re-runs the bitcast/layout pass every round).
     """
-    Q = cand.rows.shape[0]
+    Q = cand.base.shape[0]
     K = m.max_points
-    RW = cand.rows.shape[-1] // 3
+    RW = cand.rows_z[0].shape[-1]
     C = m.capacity
     q_world = _rot_pts_exact(query_local, pose_R) + pose_t
     max_d2 = np.float32(max_distance * max_distance)
@@ -973,25 +1045,29 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
             match_rows,
         )
 
+        # legacy (Q, 9, 3*RW) triple-row layout for the kernel (built on
+        # demand — the flag is off by default, chip A/B says XLA wins)
+        rows_legacy = jnp.concatenate(cand.rows_z, axis=1).reshape(
+            Q, 9, 3 * RW)
         plane_origin, loc, best_d2 = match_rows(
-            q_world, cand.rows, cand.n_present, max_d2=float(max_d2),
+            q_world, rows_legacy, cand.n_present, max_d2=float(max_d2),
             max_points=K,
         )
         c_idx = (loc // (3 * K)).astype(jnp.int32)
         zk_idx = loc % (3 * K)
     else:
-        # Hierarchical first-min, entirely in the gather's ROW-MAJOR
-        # layout: per candidate row (query-column triple) reduce the 3x K
-        # lane blocks to (best d2, best (z,k)), then combine each query's
-        # 9 rows. Equivalent to the flat argmin over (col, z, k) order —
-        # strict `<` between z-slices and across columns keeps the FIRST
-        # minimum (reference tie-break, voxel_grid.h:175-196) — but never
+        # Hierarchical first-min, entirely in the gathers' ROW-MAJOR
+        # layout: per z-slice array reduce the K lane block to (best d2,
+        # best k), then combine z-slices and each query's 9 columns.
+        # Equivalent to the flat argmin over (col, z, k) order — strict
+        # `<` between z-slices and across columns keeps the FIRST minimum
+        # (reference tie-break, voxel_grid.h:175-196) — but never
         # materializes a (Q, 27K) tensor or re-tiles the cache (the
         # (Q,9,3,RW) view cost 0.77 ms/scan of reshape/copy in the r4
         # xplane trace).
         QR = Q * 9
-        r2 = jax.lax.bitcast_convert_type(
-            cand.rows.reshape(QR, 3 * RW), jnp.float32)
+        rs = [jax.lax.bitcast_convert_type(r, jnp.float32)
+              for r in cand.rows_z]
         qx = jnp.broadcast_to(q_world[:, None, 0], (Q, 9)).reshape(QR, 1)
         qy = jnp.broadcast_to(q_world[:, None, 1], (Q, 9)).reshape(QR, 1)
         qz = jnp.broadcast_to(q_world[:, None, 2], (Q, 9)).reshape(QR, 1)
@@ -1001,11 +1077,11 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         best_d_row = jnp.full((QR,), max_d2, jnp.float32)
         best_zk_row = jnp.zeros((QR,), jnp.int32)
         for s in range(3):
-            o = s * RW
-            xs = r2[:, o : o + K]
-            ys = r2[:, o + K : o + 2 * K]
-            zs = r2[:, o + 2 * K : o + 3 * K]
-            cnt = r2[:, o + 3 * K]
+            r2 = rs[s]
+            xs = r2[:, :K]
+            ys = r2[:, K : 2 * K]
+            zs = r2[:, 2 * K : 3 * K]
+            cnt = r2[:, 3 * K]
             ok = (npres > s)[:, None] & (kf < cnt[:, None])
             dx = xs - qx
             dy = ys - qy
@@ -1034,14 +1110,14 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         oy = jnp.zeros((Q,), jnp.float32)
         oz = jnp.zeros((Q,), jnp.float32)
         for s in range(3):
-            o = s * RW
+            r2 = rs[s]
             sel = (win_row & (zk_win // K == s))[:, None] & (
                 ki == (zk_win % K)[:, None])                 # (QR, K)
             pick = lambda a: jnp.sum(
                 jnp.where(sel, a, 0.0).reshape(Q, 9 * K), axis=1)
-            ox = ox + pick(r2[:, o : o + K])
-            oy = oy + pick(r2[:, o + K : o + 2 * K])
-            oz = oz + pick(r2[:, o + 2 * K : o + 3 * K])
+            ox = ox + pick(r2[:, :K])
+            oy = oy + pick(r2[:, K : 2 * K])
+            oz = oz + pick(r2[:, 2 * K : 3 * K])
         plane_origin = jnp.stack([ox, oy, oz], axis=-1)
     k_idx = (zk_idx % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)

@@ -118,29 +118,33 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
         blocks.append(tuple(from_rank(off, x) for x in blocks[0]))
 
     # composite dense directory: per column, pick the owning block and
-    # offset its slot pointer into the concatenated row space
-    cell_gx = jnp.arange(_G * _G + 1, dtype=jnp.int32) // _G  # overflow->_G
-    owner_rel = (cell_gx % n - r) % n
-    dense_cat = jnp.full((_G * _G + 1,), _PTR_EMPTY, jnp.int32)
+    # offset its slot pointer into the concatenated row space. The grid is
+    # the 2-D (_NROW2 + 1, 8) form (vm.SearchIndex.dense); every 8-cell
+    # row lies in a single gx column-of-columns (G is 8-divisible), so
+    # ownership selects whole rows: row j covers cells [8j-8, 8j), i.e.
+    # gx = (j - 1) >> 7 at G = 1024 (rows 0 and _NROW2 are all-empty
+    # padding in every block, so their owner pick is immaterial).
+    row_gx = (jnp.arange(vm._NROW2 + 1, dtype=jnp.int32) - 1) >> 7
+    owner_rel = (row_gx % n - r) % n
+    dense_cat = jnp.full((vm._NROW2 + 1, 8), _PTR_EMPTY, jnp.int32)
     for b, (_, dense_b, _) in enumerate(blocks):
-        sel = owner_rel == (0, 1, n - 1)[b]
+        sel = (owner_rel == (0, 1, n - 1)[b])[:, None]
         shifted = jnp.where(dense_b == _PTR_EMPTY, _PTR_EMPTY,
                             dense_b + np.int32(b) * S)
         dense_cat = jnp.where(sel, shifted, dense_cat)
-    dense_cat = dense_cat.at[_G * _G].set(_PTR_EMPTY)  # overflow stays empty
 
     tab_cat = jnp.concatenate([b[0] for b in blocks])
     desc_cat = jnp.concatenate([b[2] for b in blocks])
     view_m = VoxelMap(tab=tab_cat, origin=m.origin, kdim=m.kdim)
 
-    # z-triple rows of the composite (slices only, no gather)
-    K = m.max_points
-    RW = index.rows3.shape[1] // 3
-    rows = tab_cat[:, :RW]
-    C3 = 3 * S
-    rp = jnp.concatenate([rows, jnp.zeros((2, RW), jnp.int32)], axis=0)
-    rows3 = jnp.concatenate([rp[0:C3], rp[1 : C3 + 1], rp[2 : C3 + 2]], axis=1)
-    view_idx = SearchIndex(dense=dense_cat, desc=desc_cat, rows3=rows3)
+    # candidate rows of the composite: a plain padded slice of the
+    # concatenated table (r5: no 3x-wide triple-row build anymore)
+    RW = index.rows.shape[1]
+    view_idx = SearchIndex(
+        dense=dense_cat,
+        desc=desc_cat,
+        rows=vm._search_rows(tab_cat, RW),
+    )
     return HaloView(m=view_m, index=view_idx)
 
 

@@ -96,7 +96,7 @@ bench("map_update (indexed)", lambda mm, ix, nw: vm.map_update(
     radius=cfg.keyframe_cleanup_range, index=ix).keys,
     m, index, upd_world, iters=20)
 bench("gather_candidates (prebuilt)", lambda mm, ix, q, v: vm.gather_candidates(
-    mm, ix, q, v, guess.t, Rg, voxel_size=cfg.keyframe_voxel_size).rows,
+    mm, ix, q, v, guess.t, Rg, voxel_size=cfg.keyframe_voxel_size).rows_z[1],
     m, index, match_ds.xyz, match_ds.valid)
 align_fn = icp.make_align(cfg)
 bench("full align", lambda mm, ix, q, v: align_fn(

@@ -56,12 +56,16 @@ def classify_op(name: str) -> str:
         return "icp_rounds(match+GN)"
     if re.search(rf"\b{Q},9,3\b|\b{Q}ic,9\b|\b{Q},27\b", name):
         return "candidate_gather"
-    if re.search(rf"\b{Q * 9},{3 * RW}\b|\b{Q * 9}\b", name):
+    if re.search(rf"\b{Q * 9},{3 * RW}\b|\b{Q * 9},{RW}\b|\b{Q * 9}\b", name):
         return "candidate_gather"
-    if re.search(rf"\b{G2}\b|\b{G2 + 1}\b", name):
+    if re.search(rf"\b{G2 // 8 + 1},16\b", name):   # dense2 row-paired view
+        return "search_index(dense_dir)"
+    if re.search(rf"\b{G2}\b|\b{G2 + 1}\b|\b{G2 + 8}\b|\b{G2 + 16}\b", name):
         return "search_index(dense_dir)"
     if re.search(rf"\b{C},{3 * RW}\b", name):
         return "search_index(rows3)"
+    if re.search(rf"\b{C + 2},{RW}\b", name):       # padded search-rows view
+        return "search_index(rows)"
     if re.search(rf"\b{C * W}\b|\b{(C + NIN) * W}\b", name):
         return "map_update(insert_scatter)"
     if re.search(rf"\b{C + NIN}\b|\b{C + NIN},{W}\b", name):

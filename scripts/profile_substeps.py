@@ -103,7 +103,7 @@ bench("downsample update (16k)",
                               budget=cfg.max_update_points).xyz, planar)
 
 # --- search structures ---
-bench("build_search_index", lambda mm: vm.build_search_index(mm).rows3, m)
+bench("build_search_index", lambda mm: vm.build_search_index(mm).rows, m)
 bench("  rows3 slice only", lambda t: jnp.concatenate(
     [t[0:cfg.map_capacity, :64],
      jnp.concatenate([t, jnp.zeros((2, t.shape[1]), jnp.int32)])[1:cfg.map_capacity+1, :64],
@@ -112,12 +112,12 @@ bench("  rows3 slice only", lambda t: jnp.concatenate(
 bench("gather_candidates",
       lambda mm, q, v: vm.gather_candidates(
           mm, vm.build_search_index(mm), q, v, guess.t, Rg,
-          voxel_size=cfg.keyframe_voxel_size).rows,
+          voxel_size=cfg.keyframe_voxel_size).rows_z[1],
       m, match_ds.xyz, match_ds.valid)
 bench("gather_candidates (prebuilt index)",
       lambda mm, ix, q, v: vm.gather_candidates(
           mm, ix, q, v, guess.t, Rg,
-          voxel_size=cfg.keyframe_voxel_size).rows,
+          voxel_size=cfg.keyframe_voxel_size).rows_z[1],
       m, index, match_ds.xyz, match_ds.valid)
 bench("match_candidates",
       lambda mm, cd, q, v: vm.match_candidates(
