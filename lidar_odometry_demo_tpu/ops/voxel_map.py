@@ -860,9 +860,15 @@ def _neighborhood_slots(
 ):
     """Slot bases + z-triple structure of each query's 3x3x3 neighborhood.
 
-    Returns (base (Q, 9) int32 clamped slot of the first present voxel at
-    z >= z-1 in each column, n_present (Q, 9) int32 how many of the
-    z-1/z/z+1 voxels exist). The present voxels occupy slots
+    Returns (base (9, Q) int32 clamped slot of the first present voxel at
+    z >= z-1 in each column, n_present (9, Q) int32 how many of the
+    z-1/z/z+1 voxels exist). All per-column arrays are COLUMN-major
+    (9, Q), never (Q, 9): the T(8, 128) tile pads a minor dimension of 9
+    to 128 lanes, so (Q, 9) arrays cost 14x their real bytes in every
+    pass and forced 0.6 ms/scan of relayout copies in the r5 trace;
+    (9, Q) keeps the minor dimension at Q = 8192. Column order within
+    the 9 is _COLUMN_OFFSETS order, preserving the reference's column
+    scan order for tie-breaks. The present voxels occupy slots
     base .. base+n_present-1: within a column the sorted table is in
     ascending z, so SLOT order equals z order — the triple needs no
     reordering, just the count mask (the j-th slot of the triple is a real
@@ -873,12 +879,12 @@ def _neighborhood_slots(
     C = m.capacity
     Q = q_world.shape[0]
     base_idx = voxel_indices(q_world, voxel_size) - m.origin  # relative (Q, 3)
-    col_xy = base_idx[:, None, :2] + _COLUMN_OFFSETS[None, :, :2]  # (Q, 9, 2)
-    gx = col_xy[..., 0] + _GHALF
-    gy = col_xy[..., 1] + _GHALF
+    # (9, Q) column coordinates in _COLUMN_OFFSETS order
+    gx = base_idx[None, :, 0] + _COLUMN_OFFSETS[:, 0][:, None] + _GHALF
+    gy = base_idx[None, :, 1] + _COLUMN_OFFSETS[:, 1][:, None] + _GHALF
     zq = base_idx[:, 2] + _DIR_ZHALF  # (Q,) directory z bit of the query voxel
     col_ok = (
-        query_valid[:, None]
+        query_valid[None, :]
         & (gx >= 0) & (gx < _G) & (gy >= 0) & (gy < _G)
     )
 
@@ -900,16 +906,16 @@ def _neighborhood_slots(
         ra = index.dense[j]                        # (Q, 8)
         rb = index.dense[j + 1]                    # (Q, 8)
         start_cols.extend(_lane_select(ra, rb, lane0, 3))  # dy = -1, 0, +1
-    # (Q, 9) in (dx, dy) order — identical to _COLUMN_OFFSETS scan order
-    start = jnp.stack(start_cols, axis=1)
+    # (9, Q) in (dx, dy) order — identical to _COLUMN_OFFSETS scan order
+    start = jnp.stack(start_cols, axis=0)
     start = jnp.where(col_ok, start, _PTR_EMPTY)
     got = start != _PTR_EMPTY
     start_c = jnp.where(got, start, 0)
-    zmask = index.desc[start_c.reshape(-1)].reshape(Q, 9, _ZWORDS)
+    zmask = index.desc[start_c.reshape(-1)].reshape(9, Q, _ZWORDS)
     zmask = jnp.where(got[..., None], zmask, 0)
     col_ok = col_ok & got
 
-    zq9 = jnp.broadcast_to(zq[:, None], (Q, 9))
+    zq9 = jnp.broadcast_to(zq[None, :], (9, Q))
     rank_m1 = _popcount_below(zmask, jnp.clip(zq9 - 1, 0, 2 * _DIR_ZHALF - 1))
     p_m1 = _zbit(zmask, zq9 - 1) & col_ok
     p_0 = _zbit(zmask, zq9) & col_ok
@@ -947,14 +953,15 @@ class CandidateSet(NamedTuple):
     scripts/r05_primitives.py), so three narrow gathers beat one wide
     gather 2.5x — and no per-scan triple-row build exists at all.
 
-    rows_z:    3-tuple of (Q*9, RW) int32 raw candidate rows for the
-               z-1 / z / z+1 slot of each query column ((col) in
-               reference scan order; slot s of column j is real iff
-               s < n_present[j])
-    base:      (Q, 9)  clamped table slot of each column's first present
+    rows_z:    3-tuple of (9*Q, RW) int32 raw candidate rows for the
+               z-1 / z / z+1 slot of each query column, in COLUMN-major
+               (9, Q) flat order (see _neighborhood_slots on why (9, Q)
+               everywhere); slot s of flat column j is real iff
+               s < n_present.reshape(-1)[j]
+    base:      (9, Q)  clamped table slot of each column's first present
                voxel at z >= z_query - 1
-    n_present: (Q, 9)  how many of the z-1/z/z+1 voxels exist (slot j of
-               a triple is a real candidate iff j < n_present)
+    n_present: (9, Q)  how many of the z-1/z/z+1 voxels exist (slot s of
+               a triple is a real candidate iff s < n_present)
     """
 
     rows_z: tuple
@@ -1034,7 +1041,7 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     materialized ONCE per scan by the caller (deriving it from the table
     in here re-runs the bitcast/layout pass every round).
     """
-    Q = cand.base.shape[0]
+    Q = cand.base.shape[1]
     K = m.max_points
     RW = cand.rows_z[0].shape[-1]
     C = m.capacity
@@ -1048,9 +1055,9 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         # legacy (Q, 9, 3*RW) triple-row layout for the kernel (built on
         # demand — the flag is off by default, chip A/B says XLA wins)
         rows_legacy = jnp.concatenate(cand.rows_z, axis=1).reshape(
-            Q, 9, 3 * RW)
+            9, Q, 3 * RW).swapaxes(0, 1)
         plane_origin, loc, best_d2 = match_rows(
-            q_world, rows_legacy, cand.n_present, max_d2=float(max_d2),
+            q_world, rows_legacy, cand.n_present.T, max_d2=float(max_d2),
             max_points=K,
         )
         c_idx = (loc // (3 * K)).astype(jnp.int32)
@@ -1068,9 +1075,10 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         QR = Q * 9
         rs = [jax.lax.bitcast_convert_type(r, jnp.float32)
               for r in cand.rows_z]
-        qx = jnp.broadcast_to(q_world[:, None, 0], (Q, 9)).reshape(QR, 1)
-        qy = jnp.broadcast_to(q_world[:, None, 1], (Q, 9)).reshape(QR, 1)
-        qz = jnp.broadcast_to(q_world[:, None, 2], (Q, 9)).reshape(QR, 1)
+        # all (9, Q)-major: flat index = col * Q + q
+        qx = jnp.broadcast_to(q_world[None, :, 0], (9, Q)).reshape(QR, 1)
+        qy = jnp.broadcast_to(q_world[None, :, 1], (9, Q)).reshape(QR, 1)
+        qz = jnp.broadcast_to(q_world[None, :, 2], (9, Q)).reshape(QR, 1)
         npres = cand.n_present.reshape(QR)
         kf = np.arange(K, dtype=np.float32)[None, :]
         ki = np.arange(K, dtype=np.int32)[None, :]
@@ -1093,19 +1101,19 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
             better = mn < best_d_row        # strict: earlier z wins ties
             best_zk_row = jnp.where(better, s * K + kw, best_zk_row)
             best_d_row = jnp.minimum(best_d_row, mn)
-        bd = best_d_row.reshape(Q, 9)
-        best_d2 = jnp.min(bd, axis=1)
-        c_idx = jnp.argmin(bd, axis=1).astype(jnp.int32)  # first min in col order
+        bd = best_d_row.reshape(9, Q)
+        best_d2 = jnp.min(bd, axis=0)
+        c_idx = jnp.argmin(bd, axis=0).astype(jnp.int32)  # first min in col order
         zk_idx = jnp.take_along_axis(
-            best_zk_row.reshape(Q, 9), c_idx[:, None], axis=1)[:, 0]
+            best_zk_row.reshape(9, Q), c_idx[None, :], axis=0)[0]
         # winner point: fused elementwise one-hot sum over a second pass of
         # the candidate stream. NOT a (Q,3)-element gather from the rows —
         # that random 2-index gather measured 1.0 ms/scan in the r4 xplane
         # trace where the streaming one-hot fuses at bandwidth.
         win_row = (jnp.broadcast_to(
-            jnp.arange(9, dtype=jnp.int32)[None, :], (Q, 9))
-            == c_idx[:, None]).reshape(QR)
-        zk_win = jnp.broadcast_to(zk_idx[:, None], (Q, 9)).reshape(QR)
+            jnp.arange(9, dtype=jnp.int32)[:, None], (9, Q))
+            == c_idx[None, :]).reshape(QR)
+        zk_win = jnp.broadcast_to(zk_idx[None, :], (9, Q)).reshape(QR)
         ox = jnp.zeros((Q,), jnp.float32)
         oy = jnp.zeros((Q,), jnp.float32)
         oz = jnp.zeros((Q,), jnp.float32)
@@ -1114,7 +1122,7 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
             sel = (win_row & (zk_win // K == s))[:, None] & (
                 ki == (zk_win % K)[:, None])                 # (QR, K)
             pick = lambda a: jnp.sum(
-                jnp.where(sel, a, 0.0).reshape(Q, 9 * K), axis=1)
+                jnp.where(sel, a, 0.0).reshape(9, Q, K), axis=(0, 2))
             ox = ox + pick(r2[:, :K])
             oy = oy + pick(r2[:, K : 2 * K])
             oz = oz + pick(r2[:, 2 * K : 3 * K])
@@ -1122,7 +1130,7 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     k_idx = (zk_idx % K).astype(jnp.int32)
     valid = query_valid & (best_d2 < max_d2)
     best_slot = jnp.minimum(
-        jnp.take_along_axis(cand.base, c_idx[:, None], axis=-1)[:, 0]
+        jnp.take_along_axis(cand.base, c_idx[None, :], axis=0)[0]
         + zk_idx // K,
         C - 1,
     )

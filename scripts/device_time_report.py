@@ -4,7 +4,7 @@ artifact — VERDICT r3 next-round #1).
 Captures an xplane trace of the steady-state single-lane sequence runner,
 classifies every XLA leaf op into a pipeline stage by its shape signature
 (signatures derived from the live config, so they track shape changes),
-and writes benchmarks/DEVICE_TIME_r04.json + benchmarks/DEVICE_TIME.md
+and writes benchmarks/DEVICE_TIME_r05.json + benchmarks/DEVICE_TIME.md
 with measured roofline context (gather rows/s + HBM stream bandwidth
 microbenches on the same chip).
 
@@ -197,7 +197,7 @@ def main():
     stages = {k: round(v, 3) for k, v in
               sorted(stage_ms.items(), key=lambda kv: -kv[1]) if k != "_control"}
     report = {
-        "round": 4,
+        "round": 5,
         "config": {"map_capacity": C, "max_match_points": Q,
                    "max_update_points": NIN, "scan_width": cfg.scan_width,
                    "keyframe_max_points_cnt": K, "row_lanes": W},
@@ -223,7 +223,7 @@ def main():
     }
     bench_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "benchmarks")
-    out_json = os.path.join(bench_dir, "DEVICE_TIME_r04.json")
+    out_json = os.path.join(bench_dir, "DEVICE_TIME_r05.json")
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     with open(os.path.join(bench_dir, "DEVICE_TIME.md"), "w") as f:
@@ -237,7 +237,7 @@ def render_md(r: dict) -> str:
     rl = r["roofline"]
     busy = r["device_busy_ms_per_scan"]
     lines = [
-        "# Device-time accounting — one odometry scan (round 4)",
+        "# Device-time accounting — one odometry scan (round 5)",
         "",
         "Per-stage TPU device time of the steady-state single-sequence",
         "runner at full VLP16 shape, from an xplane trace "

@@ -37,11 +37,11 @@ def timeit(name, fn, *args, n=100):
 
 def xla_match(qj, rowsj, npresj):
     QR, RW3 = rowsj.shape[0] * 9, rowsj.shape[-1]
-    flat = rowsj.reshape(QR, RW3)
+    flat = rowsj.swapaxes(0, 1).reshape(QR, RW3)   # (9, Q)-major flat
     rw = RW3 // 3
     cand = vm.CandidateSet(
         rows_z=tuple(flat[:, s_ * rw:(s_ + 1) * rw] for s_ in range(3)),
-        base=jnp.zeros((Q, 9), jnp.int32), n_present=npresj)
+        base=jnp.zeros((9, Q), jnp.int32), n_present=npresj.T)
     m = vm.map_init(1024, K)
     c = vm._select_best(m, cand, qj, jnp.ones(Q, bool), jnp.zeros(3),
                         jnp.eye(3), 0.3, nrm_view=m.nrm)
