@@ -238,6 +238,10 @@ def _shift_key(delta: jax.Array) -> jax.Array:
 
 
 def map_init(capacity: int, max_points: int) -> VoxelMap:
+    # capacity % 16 == 0: the packed search-index desc stores 16 slots
+    # per 128-lane row (see SearchIndex.desc); spatial shard capacities
+    # must also be 16-divisible so composite desc rows stay slot-aligned
+    assert capacity % 16 == 0, f"map capacity must be 16-divisible, got {capacity}"
     _, MB, W = _lanes(max_points)
     tab = jnp.zeros((capacity, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
     return VoxelMap(
@@ -354,12 +358,6 @@ _ZWORDS = (2 * _DIR_ZHALF) // 32    # 8 int32 words
 
 _PTR_EMPTY = np.int32(0x7FFFFFFF)
 
-# desc build formulation A/B (see build_search_index): default is the
-# flat scatter-add; LIDAR_DESC_SCAN=1 switches to the segmented-scan
-# build for on-chip comparison.
-import os as _os
-
-_DESC_VIA_SCAN = _os.environ.get("LIDAR_DESC_SCAN", "0") == "1"
 
 
 class SearchIndex(NamedTuple):
@@ -383,13 +381,21 @@ class SearchIndex(NamedTuple):
         the padded cell space never straddles columns (G = 1024 is
         8-divisible), so the spatial composite selects whole rows by
         owner (parallel/spatial.py).
-    desc: (C, ZWORDS) int32 — at each column-leader slot, the column's
-        256-bit z-occupancy bitmask (garbage elsewhere; only leader slots
-        are ever dereferenced). A query resolves voxel (x, y, z) to its
-        exact table slot as `ptr + popcount(bits below z)` — row gathers
-        + VPU popcounts, instead of a 17-step binary search per column
-        (searchsorted measured ~4x slower on TPU, and its XLA lowering
-        costs ~10 ms per scan in map_update).
+    desc: (C // 16, 128) int32 — the per-column-leader 256-bit
+        z-occupancy bitmasks, PACKED 16 leader slots per 128-lane row:
+        slot s's ZWORDS words live at row s >> 4, lanes
+        [(s & 15) * 8, (s & 15) * 8 + 8) (garbage at non-leader slots;
+        only leader slots are ever dereferenced). Packed because a
+        (C, 8) array tiles to (8, 128) physically — 16x padded, turning
+        every init/copy pass into 67 MB (0.3+ ms/scan in the r5 trace);
+        the packed form is the real 4 MB. A query resolves voxel
+        (x, y, z) to its exact table slot as `ptr + popcount(bits below
+        z)` — row gathers + unrolled lane selects + VPU popcounts,
+        instead of a 17-step binary search per column (searchsorted
+        measured ~4x slower on TPU, and its XLA lowering costs ~10 ms
+        per scan in map_update). Requires capacity % 16 == 0 (map_init
+        asserts; spatial shard capacities must divide accordingly so
+        composite desc rows concatenate slot-aligned).
     rows: (C + 2, RW) int32 — the per-slot search lanes
         ([pts planar | cnt_f], RW lanes, f32 bitcast) + 2 zero pad rows.
         The neighborhood search gathers the (z-1, z, z+1) voxels of a
@@ -422,6 +428,22 @@ def _lane_select(rows8a, rows8b, lane0, n_out: int):
             v = jnp.where(lane0 == l, src, v)
         outs.append(v)
     return outs
+
+
+def _gather_zwords(index: "SearchIndex", slot_flat: jax.Array,
+                   got: jax.Array) -> list:
+    """Leader slots -> their z-occupancy masks as a LIST of _ZWORDS
+    (N,)-shaped word vectors (never a minor-dim-8 array — see the desc
+    packing note in SearchIndex). `got` masks absent columns to 0."""
+    row = index.desc[jax.lax.shift_right_logical(slot_flat, 4)]  # (N, 128)
+    sub = slot_flat & 15
+    words = []
+    for w in range(_ZWORDS):
+        v = jnp.zeros(slot_flat.shape, jnp.int32)
+        for s16 in range(16):
+            v = jnp.where(sub == s16, row[..., (s16 << 3) + w], v)
+        words.append(jnp.where(got, v, 0))
+    return words
 
 
 def _search_rows(tab: jax.Array, RW: int) -> jax.Array:
@@ -471,54 +493,30 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
         p & 7,
     ].set(iota, mode="drop", unique_indices=True)
 
-    # compact z-occupancy at leader slots. Two formulations, switchable
-    # for on-chip A/B (LIDAR_DESC_SCAN=1):
+    # compact z-occupancy at leader slots: one 2-index scatter-add into
+    # the PACKED (C//16, 128) form (z unique per voxel within a column,
+    # so add == or; bit 31 wraps to int32 min — the right bit pattern;
+    # int32 throughout, see EMPTY_KEY). Masked entries get distinct OOB
+    # rows (dropped). A segmented-scan formulation was A/B'd on chip in
+    # r4/r5 and lost both times (r5: 16.1 vs 14.0 ms/scan end-to-end).
     word = jnp.where(in_win, jax.lax.shift_right_logical(zd, 5), 0)
     bit = jax.lax.shift_left(jnp.int32(1), zd & 31)
-    if _DESC_VIA_SCAN:
-        # SEGMENTED suffix-OR scan over the column runs (columns are
-        # consecutive in the sorted table, so the leader's suffix-OR
-        # within its run is the full column mask). Non-leader desc rows
-        # hold partial suffixes (garbage) — only leader slots are ever
-        # dereferenced.
-        onehot = jnp.where(
-            (word[:, None] == np.arange(_ZWORDS, dtype=np.int32)[None, :])
-            & in_win[:, None],
-            bit[:, None], 0)                               # (C, ZWORDS)
-        # flip -> forward segmented inclusive OR -> flip back == suffix-
-        # OR within runs; segment starts in the flipped order are the
-        # original runs' LAST rows (the row before the next leader)
-        seg_end = jnp.concatenate([leader[1:], jnp.array([True])])
-        flags_f = jnp.flip(seg_end, 0).astype(jnp.int32)[:, None]
-        vals_f = jnp.flip(onehot, 0)
-
-        def _seg_or(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf.astype(bool), bv, av | bv), af | bf
-
-        scanned, _ = jax.lax.associative_scan(_seg_or, (vals_f, flags_f))
-        desc = jnp.flip(scanned, 0)
-    else:
-        # one 2-index scatter-add (z unique per voxel within a column, so
-        # add == or; bit 31 wraps to int32 min — the right bit pattern;
-        # int32 throughout, see EMPTY_KEY). 2-D target on purpose — the
-        # r4 flat (C*ZWORDS,) scatter hit the 1-D scatter slow path +
-        # retile reshape (see the dense grid note above).
-        desc = jnp.zeros((C + 1, _ZWORDS), jnp.int32)
-        desc = desc.at[
-            jnp.where(in_win, start, C), word
-        ].add(jnp.where(in_win, bit, 0), mode="drop")
-        desc = desc[:C]
+    desc = jnp.zeros((C // 16, 128), jnp.int32)
+    desc = desc.at[
+        jnp.where(in_win, jax.lax.shift_right_logical(start, 4),
+                  C // 16 + iota),
+        ((start & 15) << 3) + word,
+    ].add(jnp.where(in_win, bit, 0), mode="drop")
 
     return SearchIndex(dense=dense, desc=desc,
                        rows=_search_rows(m.tab, RW))
 
 
-def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
+def _popcount_below(zwords: list, z: jax.Array) -> jax.Array:
     """Number of set bits strictly below bit index z (vectorized rank).
 
-    zmask: (..., ZWORDS) int32; z: (...) int32 in [0, 2*_DIR_ZHALF).
+    zwords: list of _ZWORDS (...)-shaped int32 word vectors (see
+    _gather_zwords); z: (...) int32 in [0, 2*_DIR_ZHALF).
     """
     word = jax.lax.shift_right_logical(z, 5)
     bit = z & 31
@@ -527,7 +525,7 @@ def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
     # shift_left(1, 31) = int32 min; min - 1 = 0x7FFFFFFF = bits 0..30 ✓
     total = jnp.zeros(z.shape, jnp.int32)
     for w in range(_ZWORDS):
-        mw = zmask[..., w]
+        mw = zwords[w]
         sel_full = w < word
         sel_part = w == word
         masked = jnp.where(sel_part, mw & low, jnp.where(sel_full, mw, 0))
@@ -535,7 +533,7 @@ def _popcount_below(zmask: jax.Array, z: jax.Array) -> jax.Array:
     return total
 
 
-def _zbit(zmask: jax.Array, z: jax.Array) -> jax.Array:
+def _zbit(zwords: list, z: jax.Array) -> jax.Array:
     """Whether bit z is set; z outside the directory window -> False."""
     ok = (z >= 0) & (z < 2 * _DIR_ZHALF)
     zc = jnp.clip(z, 0, 2 * _DIR_ZHALF - 1)
@@ -543,7 +541,7 @@ def _zbit(zmask: jax.Array, z: jax.Array) -> jax.Array:
     bit = zc & 31
     w = jnp.zeros(z.shape, jnp.int32)
     for wi in range(_ZWORDS):  # unrolled select — no gather
-        w = jnp.where(word == wi, zmask[..., wi], w)
+        w = jnp.where(word == wi, zwords[wi], w)
     return ok & (jax.lax.shift_right_logical(w, bit) & 1).astype(bool)
 
 
@@ -582,11 +580,10 @@ def _directory_lookup(
     start = jnp.where(in_win, start, _PTR_EMPTY)
     got = start != _PTR_EMPTY
     start_c = jnp.where(got, start, 0)
-    zmask = index.desc[start_c]              # (N, ZWORDS)
-    zmask = jnp.where(got[..., None], zmask, 0)
+    zwords = _gather_zwords(index, start_c, got)
     zc = jnp.clip(z, 0, 2 * _DIR_ZHALF - 1)
-    pos = start_c + _popcount_below(zmask, zc)
-    found = in_win & got & _zbit(zmask, zc)
+    pos = start_c + _popcount_below(zwords, zc)
+    found = in_win & got & _zbit(zwords, zc)
     pos = jnp.where(found, jnp.minimum(pos, C - 1), C - 1)
     return pos, found
 
@@ -911,15 +908,15 @@ def _neighborhood_slots(
     start = jnp.where(col_ok, start, _PTR_EMPTY)
     got = start != _PTR_EMPTY
     start_c = jnp.where(got, start, 0)
-    zmask = index.desc[start_c.reshape(-1)].reshape(9, Q, _ZWORDS)
-    zmask = jnp.where(got[..., None], zmask, 0)
+    zwords = [w.reshape(9, Q) for w in
+              _gather_zwords(index, start_c.reshape(-1), got.reshape(-1))]
     col_ok = col_ok & got
 
     zq9 = jnp.broadcast_to(zq[None, :], (9, Q))
-    rank_m1 = _popcount_below(zmask, jnp.clip(zq9 - 1, 0, 2 * _DIR_ZHALF - 1))
-    p_m1 = _zbit(zmask, zq9 - 1) & col_ok
-    p_0 = _zbit(zmask, zq9) & col_ok
-    p_p1 = _zbit(zmask, zq9 + 1) & col_ok
+    rank_m1 = _popcount_below(zwords, jnp.clip(zq9 - 1, 0, 2 * _DIR_ZHALF - 1))
+    p_m1 = _zbit(zwords, zq9 - 1) & col_ok
+    p_0 = _zbit(zwords, zq9) & col_ok
+    p_p1 = _zbit(zwords, zq9 + 1) & col_ok
     base = jnp.where(col_ok, jnp.minimum(start_c + rank_m1, C - 1), C - 1)
     n_present = (p_m1.astype(jnp.int32) + p_0.astype(jnp.int32)
                  + p_p1.astype(jnp.int32))

@@ -284,6 +284,11 @@ def init_spatial_state(cfg, n_shards: int):
     from lidar_odometry_demo_tpu.pipeline import odometry
 
     shard_cap = cfg.map_capacity // n_shards
+    # 16-divisible shard capacity: composite desc rows concatenate
+    # slot-aligned only when every block holds a whole number of packed
+    # 16-slot rows (vm.SearchIndex.desc)
+    assert shard_cap % 16 == 0, (
+        f"map_capacity // n_shards = {shard_cap} must be 16-divisible")
     one = odometry.OdometryState(
         keyframe=vm.map_init(shard_cap, cfg.keyframe_max_points_cnt),
         current=se3.Pose.identity(),
