@@ -1029,14 +1029,13 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
     This runs once per ICP outer round, so its lowering matters: the
     candidate coordinates are read as contiguous PLANAR lane slices of
     the raw cached rows (see _lanes — no (Q, 27K, 3) re-tiling copies),
-    the winning point is selected by an exact elementwise one-hot select
-    over the same stream (NOT an einsum: a float32 dot_general at default
-    precision runs bfloat16 on the MXU, rounding plane_origin world
-    coordinates to ~8 mantissa bits — ADVICE r3 #1), best_d2 is the
-    masked min (equal by construction to the argmin's value), and the
-    winner normal comes from `nrm_view`, the (C, K, 3) normal view
-    materialized ONCE per scan by the caller (deriving it from the table
-    in here re-runs the bitcast/layout pass every round).
+    the winning point comes from per-z-slice Q-row gathers of the compact
+    candidate arrays + unrolled lane selects (exact f32 — no einsum: a
+    float32 dot_general at default precision runs bfloat16 on the MXU,
+    rounding plane_origin world coordinates to ~8 mantissa bits — ADVICE
+    r3 #1), best_d2 is the masked min (equal by construction to the
+    argmin's value), and the winner normal comes from a full-tab-row
+    gather at the winning slot + lane selects.
     """
     Q = cand.base.shape[1]
     K = m.max_points
@@ -1104,9 +1103,14 @@ def _select_best(m, cand: CandidateSet, query_local, query_valid,
         zk_idx = jnp.take_along_axis(
             best_zk_row.reshape(9, Q), c_idx[None, :], axis=0)[0]
         # winner point: fused elementwise one-hot sum over a second pass of
-        # the candidate stream. NOT a (Q,3)-element gather from the rows —
-        # that random 2-index gather measured 1.0 ms/scan in the r4 xplane
-        # trace where the streaming one-hot fuses at bandwidth.
+        # the candidate stream. NOT a gather from the rows: ANY gather
+        # inside the ICP while_loop measured catastrophic on this chip
+        # (75 -> 49 scans/s end-to-end, r5) — the whole point of the
+        # candidate cache is that per-round work is pure streaming math.
+        # An in-pass one-hot (extracting coordinates next to the d2
+        # reduction) was also tried and lost ~0.5 ms/scan: kw is a
+        # reduction result, so the lanes get re-read either way and the
+        # carried selects are pure overhead.
         win_row = (jnp.broadcast_to(
             jnp.arange(9, dtype=jnp.int32)[:, None], (9, Q))
             == c_idx[None, :]).reshape(QR)

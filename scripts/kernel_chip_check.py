@@ -44,7 +44,7 @@ def xla_match(qj, rowsj, npresj):
         base=jnp.zeros((9, Q), jnp.int32), n_present=npresj.T)
     m = vm.map_init(1024, K)
     c = vm._select_best(m, cand, qj, jnp.ones(Q, bool), jnp.zeros(3),
-                        jnp.eye(3), 0.3, nrm_view=m.nrm)
+                        jnp.eye(3), 0.3)
     return c.plane_origin
 
 
