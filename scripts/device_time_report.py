@@ -156,17 +156,24 @@ def main():
     t_gather = max(timed(g100, rows, idx) - t_floor, 1e-9) / 100
     gather_rows_per_s = Q * 9 / t_gather
 
-    # HBM stream bandwidth (read-only stream of 256 MB x 16)
+    # HBM stream bandwidth (read-only stream of 256 MB x 64). 64 passes,
+    # not 16: with few passes the measurement can dip below the dispatch
+    # floor and the subtraction underflows to garbage (an r5 run reported
+    # 4e9 GB/s); sanity-clamp to the physical ceiling regardless.
     big = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
 
     @jax.jit
-    def c16(x):
+    def c64(x):
         def body(i, acc):
             return acc + jnp.sum(x * (1.0 + jnp.float32(i)))
-        return jax.lax.fori_loop(0, 16, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, 64, body, jnp.float32(0))
 
-    t_copy = max(timed(c16, big) - t_floor, 1e-9) / 16
+    t_copy = max(timed(c64, big) - t_floor, 1e-9) / 64
     hbm_gb_per_s = big.size * 4 / t_copy / 1e9
+    if not (10.0 < hbm_gb_per_s < 3000.0):   # v5e HBM is ~819 GB/s
+        log(f"WARNING: hbm microbench implausible ({hbm_gb_per_s:.0f} GB/s);"
+            " falling back to the nominal v5e 819 GB/s")
+        hbm_gb_per_s = 819.0
 
     log("parsing xplane...")
     # --- parse xplane ---
