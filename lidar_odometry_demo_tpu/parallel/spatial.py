@@ -45,6 +45,8 @@ each world-frame point lands on exactly one device.
 
 from __future__ import annotations
 
+import os as _os
+
 from typing import NamedTuple
 
 import jax
@@ -60,6 +62,9 @@ from lidar_odometry_demo_tpu.ops.voxel_map import (
     SearchIndex,
     VoxelMap,
 )
+
+
+_FORCE_HALO = _os.environ.get("LIDAR_FORCE_HALO", "0") == "1"
 
 
 def column_gx(xyz: jax.Array, origin: jax.Array, voxel_size: float) -> jax.Array:
@@ -105,7 +110,12 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
     r = jax.lax.axis_index(axis)
     S = m.capacity
 
-    if n == 1:
+    if n == 1 and not _FORCE_HALO:
+        # single shard: the local view IS the complete map. LIDAR_FORCE_HALO=1
+        # keeps going anyway (self-ppermutes, 3x self-composite) so the
+        # halo machinery's cost can be measured on one chip at shard
+        # size C — an UPPER bound on the per-shard composite cost, since
+        # real shards are C/N rows (benchmarks/run_configs.py config6).
         return HaloView(m=m, index=index)
 
     def from_rank(src_offset: int, x):

@@ -185,6 +185,8 @@ def main():
     stage_ms = defaultdict(float)
     top_ops = defaultdict(float)
     total_leaf = 0.0
+    n_leaf = 0
+    span_lo, span_hi = None, 0.0
     for p in xs_.planes:
         if not p.name.endswith("TPU:0"):
             continue
@@ -199,7 +201,17 @@ def main():
                 stage_ms[stage] += ms
                 if stage != "_control":
                     total_leaf += ms
-                    top_ops[(stage, name[:110])] += ms
+                    n_leaf += 1
+                    t0_ = e.offset_ps
+                    t1_ = e.offset_ps + e.duration_ps
+                    span_lo = t0_ if span_lo is None else min(span_lo, t0_)
+                    span_hi = max(span_hi, t1_)
+    # wall-vs-busy decomposition (VERDICT r4 #9): device span = busy +
+    # inter-fusion gaps; wall - span = host dispatch/infeed outside the
+    # device timeline. The gap per op tells whether the idle is many
+    # small sequencing stalls (op-count-bound) or a few big ones.
+    span_ms = (span_hi - (span_lo or 0.0)) / 1e9 / N
+    idle_ms = max(span_ms - total_leaf, 0.0)
 
     stages = {k: round(v, 3) for k, v in
               sorted(stage_ms.items(), key=lambda kv: -kv[1]) if k != "_control"}
@@ -213,6 +225,10 @@ def main():
         "icp_outer_iterations_per_scan": icp_iters,
         "wall_ms_per_scan": round(wall_ms_per_scan, 2),
         "device_busy_ms_per_scan": round(total_leaf, 2),
+        "device_span_ms_per_scan": round(span_ms, 2),
+        "idle_within_span_ms_per_scan": round(idle_ms, 2),
+        "leaf_ops_per_scan": n_leaf // N,
+        "mean_inter_op_gap_us": round(1e3 * idle_ms / max(n_leaf // N, 1), 2),
         "stage_ms_per_scan": stages,
         "roofline": {
             "gather_rows_per_s": round(gather_rows_per_s / 1e6, 1),
