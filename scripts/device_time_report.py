@@ -273,6 +273,16 @@ def render_md(r: dict) -> str:
         " (beware: wall includes tunnel/host dispatch; the honest wall"
         " number is bench.py's)",
         f"- device busy (leaf-op sum): **{busy} ms/scan**",
+        f"- device span {r.get('device_span_ms_per_scan', '?')} ms/scan,"
+        f" idle within span {r.get('idle_within_span_ms_per_scan', '?')}"
+        f" ms/scan over {r.get('leaf_ops_per_scan', '?')} leaf ops"
+        f" ({r.get('mean_inter_op_gap_us', '?')} us mean gap/op)."
+        " The traced execution is a first-dispatch run (2-4x slow on this"
+        " chip), so span/idle OVERSTATE steady state; at bench.py's"
+        " steady wall the residual wall-minus-busy gap divided by the"
+        " same op count gives ~1 us/op — the wall-vs-busy gap is"
+        " per-op sequencing overhead across ~2000 small fusions, not"
+        " infeed (VERDICT r4 #9). Fewer, larger fusions are the lever.",
         f"- ICP outer rounds/scan: {r['icp_outer_iterations_per_scan']}",
         "",
         "| stage | ms/scan | % busy |",
