@@ -11,7 +11,8 @@ phases on TPU:
    select of the winning point + its (voxel, k) index.
 
 Phase 2 is what this kernel fuses, streaming the RAW gathered z-triple
-rows (vm.CandidateSet.rows, int32 (Q, 9, 3*RW) with PLANAR x/y/z lanes —
+rows (legacy (Q, 9, 3*RW) triple-row layout, rebuilt on demand from
+vm.CandidateSet.rows_z by _select_best when the flag is on; PLANAR x/y/z lanes —
 see vm._lanes) through VMEM tiles and writing only (Q, 3+1+1). The XLA
 formulation materializes the (Q, 27K) gated-distance array and argmin/
 one-hot intermediates in HBM; the kernel keeps them in VMEM. It runs once
