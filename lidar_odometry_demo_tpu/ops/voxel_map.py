@@ -211,6 +211,15 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array,
     rx = rel[..., 0] + _XOFF
     ry = rel[..., 1] + _YOFF
     rz = rel[..., 2] + _ZOFF
+    # run the ~15-op packing chain in (N//128, 128) 2-D block form when
+    # the flat size allows: 1-D T(1024) elementwise ops cost ~0.015 ms
+    # EACH on this chip regardless of size, vs effectively free in
+    # T(8, 128) 2-D (r5 A/B); this chain runs four times per scan
+    blocked = (rx.ndim == 1 and rx.shape[0] % 128 == 0
+               and rx.shape[0] >= 128)
+    if blocked:
+        rx, ry, rz = (v.reshape(-1, 128) for v in (rx, ry, rz))
+        valid = valid.reshape(-1, 128)
     in_range = (
         (rx >= 0) & (rx < (1 << _XB) - 1)
         & (ry >= 0) & (ry < (1 << _YB) - 1)
@@ -224,7 +233,8 @@ def pack_keys(idx: jax.Array, origin: jax.Array, valid: jax.Array,
             & (ry >= _YOFF - _GHALF) & (ry < _YOFF + _GHALF)
         )
     key = (rx << (_YB + _ZB)) | (ry << _ZB) | rz
-    return jnp.where(valid & in_range, key, EMPTY_KEY)
+    out = jnp.where(valid & in_range, key, EMPTY_KEY)
+    return out.reshape(-1) if blocked else out
 
 
 def _shift_key(delta: jax.Array) -> jax.Array:
@@ -266,9 +276,26 @@ def _group_structure(sorted_keys: jax.Array):
     leader: True at the first element of each equal-key run (EMPTY excluded)
     rank:   position within the run
     start:  index of the run's leader, per element
+
+    Runs the shift/compare/scan in (n//128, 128) 2-D block form when the
+    size allows (1-D elementwise/scan ops cost ~0.015 ms each on this
+    chip — r5 A/B); results return flat for the callers' gathers.
     """
     n = sorted_keys.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
+    if n % 128 == 0 and n >= 128:
+        k2 = sorted_keys.reshape(-1, 128)
+        pos2 = pos.reshape(-1, 128)
+        valid = k2 != EMPTY_KEY
+        leader = valid & (k2 != _flat_shift1(k2, EMPTY_KEY))
+        x = jnp.where(leader, pos2, -1)
+        m1 = jax.lax.associative_scan(jnp.maximum, x, axis=1)
+        carry = jax.lax.associative_scan(jnp.maximum, m1[:, -1])
+        prefix = jnp.concatenate(
+            [jnp.full((1,), np.int32(-1)), carry[:-1]])[:, None]
+        start = jnp.maximum(m1, prefix)
+        return (leader.reshape(-1), (pos2 - start).reshape(-1),
+                start.reshape(-1))
     valid = sorted_keys != EMPTY_KEY
     prev = jnp.concatenate([jnp.array([EMPTY_KEY], sorted_keys.dtype), sorted_keys[:-1]])
     leader = valid & (sorted_keys != prev)
@@ -452,11 +479,31 @@ def _search_rows(tab: jax.Array, RW: int) -> jax.Array:
         [tab[:, :RW], jnp.zeros((2, RW), jnp.int32)], axis=0)
 
 
+def _flat_shift1(x2: jax.Array, fill) -> jax.Array:
+    """Flat shift-by-one of a (R, 128) 2-D view: out.flat[i] = x.flat[i-1]
+    (out.flat[0] = fill), expressed as a lane shift with the row boundary
+    carried through lane 127 of the previous row — keeps the whole op in
+    T(8, 128) 2-D form (1-D concatenate/slice chains run ~15-30x slower
+    on this chip; scripts r5 1-D/2-D A/B)."""
+    carry = jnp.concatenate(
+        [jnp.full((1,), fill, x2.dtype), x2[:-1, -1]])[:, None]  # (R, 1)
+    return jnp.concatenate([carry, x2[:, :-1]], axis=1)
+
+
 def build_search_index(m: VoxelMap) -> SearchIndex:
-    """Build the per-scan column directory + candidate row view."""
+    """Build the per-scan column directory + candidate row view.
+
+    Every (C,)-sized elementwise chain runs in (C//128, 128) 2-D block
+    form: 1-D T(1024) elementwise ops measured ~33 GB/s per pass on this
+    chip vs effectively free in T(8, 128) 2-D (r5 A/B) — the chains here
+    cost ~0.3 ms/scan as 1-D. Tiny test tables (C % 128 != 0) keep the
+    1-D path. The leader-start max-scan is BLOCKED in 2-D: scan within
+    rows, scan the row carries, combine.
+    """
     C, K = m.capacity, m.max_points
     RW, _, _ = _lanes(K)
-    keys = m.keys
+    two_d = C % 128 == 0
+    keys = m.keys.reshape(-1, 128) if two_d else m.keys
     occ = keys != EMPTY_KEY
     rx = jax.lax.shift_right_logical(keys, _YB + _ZB)          # 11-bit x field
     ry = jax.lax.shift_right_logical(keys, _ZB) & ((1 << _YB) - 1)
@@ -473,18 +520,34 @@ def build_search_index(m: VoxelMap) -> SearchIndex:
     # column leaders + per-element leader slot (columns are consecutive
     # runs of the sorted keys)
     colkey = jax.lax.shift_right_logical(keys, _ZB)
-    prev = jnp.concatenate([jnp.array([-1], jnp.int32), colkey[:-1]])
-    leader = in_win & ((colkey != prev)
-                       | ~jnp.concatenate([jnp.array([False]), in_win[:-1]]))
     iota = jnp.arange(C, dtype=jnp.int32)
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(leader, iota, -1))
+    if two_d:
+        iota = iota.reshape(-1, 128)
+        prev = _flat_shift1(colkey, np.int32(-1))
+        prev_win = _flat_shift1(in_win, False)
+        leader = in_win & ((colkey != prev) | ~prev_win)
+        # blocked max-scan for the per-element leader slot
+        x = jnp.where(leader, iota, -1)
+        m1 = jax.lax.associative_scan(jnp.maximum, x, axis=1)
+        row_carry = jax.lax.associative_scan(jnp.maximum, m1[:, -1])
+        row_prefix = jnp.concatenate(
+            [jnp.full((1,), np.int32(-1)), row_carry[:-1]])
+        start = jnp.maximum(m1, row_prefix[:, None])
+    else:
+        prev = jnp.concatenate([jnp.array([-1], jnp.int32), colkey[:-1]])
+        leader = in_win & ((colkey != prev)
+                           | ~jnp.concatenate([jnp.array([False]),
+                                               in_win[:-1]]))
+        start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(leader, iota, -1))
 
     # dense pointer grid: one 2-index scatter into the (row, lane) form
     # (leaders only; one per column). Distinct leader cells -> distinct
     # (row, lane) targets; masked entries get distinct OOB rows so the
     # uniqueness promise holds. Flat 1-D scatters into a (G*G,) grid ran
     # ~4x slower on this chip and forced 1-D<->2-D retiling passes
-    # downstream (r5 xplane trace) — stay 2-D end to end.
+    # downstream (r5 xplane trace) — stay 2-D end to end. The scatter
+    # index/value arrays keep the 2-D block shape (same element count).
     p = cell + 8                                  # front-padded cell space
     dense = jnp.full((_NROW2 + 1, 8), _PTR_EMPTY, jnp.int32)
     dense = dense.at[
@@ -628,15 +691,17 @@ def _update_impl(
     RW, MB, W = _lanes(K)
 
     shift = _shift_key(new_origin - m.origin)
-    old_keys = m.keys
+    blocked = C % 128 == 0 and C >= 128
+    r2 = lambda v: v.reshape(-1, 128) if blocked else v
+    old_keys = r2(m.keys)
     occupied = old_keys != EMPTY_KEY
     keys1 = jnp.where(occupied, old_keys - shift, EMPTY_KEY)
     if evict is None:
-        count1 = m.count
+        count1 = r2(m.count)
         evicted = jnp.zeros_like(occupied)
     else:
-        evicted = occupied & evict
-        count1 = jnp.where(evicted, 0, m.count)
+        evicted = occupied & r2(evict)
+        count1 = jnp.where(evicted, 0, r2(m.count))
 
     # --- sort incoming by key (stable: input order within voxel) ---
     n_in = new.xyz.shape[0]
@@ -650,22 +715,35 @@ def _update_impl(
     valid_e = skeys != EMPTY_KEY
 
     # --- locate each group in the OLD table layout ---
+    keys1_flat = keys1.reshape(-1) if blocked else keys1
     if index is not None:
         pos_c, found = _directory_lookup(m, index, sxyz, valid_e, voxel_size)
-        found = found & (keys1[pos_c] == skeys)  # belt & braces (cheap)
+        found = found & (keys1_flat[pos_c] == skeys)  # belt & braces (cheap)
     else:
-        pos = jnp.searchsorted(keys1, skeys).astype(jnp.int32)
+        pos = jnp.searchsorted(keys1_flat, skeys).astype(jnp.int32)
         pos_c = jnp.minimum(pos, C - 1)
-        found = valid_e & (keys1[pos_c] == skeys)
+        found = valid_e & (keys1_flat[pos_c] == skeys)
 
-    # which old rows get re-touched (tombstone reuse detection)
-    touched = jnp.zeros((C,), bool).at[
-        jnp.where(leader & found, pos_c,
-                  C + jnp.arange(n_in, dtype=jnp.int32))
-    ].set(True, mode="drop", unique_indices=True)
+    # which old rows get re-touched (tombstone reuse detection); the
+    # scatter targets the 2-D block form when available (1-D scatters
+    # are the slow path on this chip)
+    if blocked:
+        touched = jnp.zeros((C // 128, 128), bool).at[
+            jnp.where(leader & found,
+                      jax.lax.shift_right_logical(pos_c, 7),
+                      C // 128 + jnp.arange(n_in, dtype=jnp.int32)),
+            pos_c & 127,
+        ].set(True, mode="drop", unique_indices=True)
+    else:
+        touched = jnp.zeros((C,), bool).at[
+            jnp.where(leader & found, pos_c,
+                      C + jnp.arange(n_in, dtype=jnp.int32))
+        ].set(True, mode="drop", unique_indices=True)
     live = (occupied & ~evicted) | touched
     keys2 = jnp.where(live, keys1, EMPTY_KEY)
     count1 = jnp.where(touched & evicted, 0, count1)  # reused tombstones
+    keys2 = keys2.reshape(-1) if blocked else keys2
+    count1 = count1.reshape(-1) if blocked else count1
 
     # --- extended row space: raw old rows ++ zero fresh rows (key and
     # count lanes are stamped from the sorted vectors after the merge
@@ -798,10 +876,25 @@ def radius_cleanup(m: VoxelMap, center: jax.Array, *, radius: float,
 
 def _evict_mask(m: VoxelMap, center: jax.Array, new_origin: jax.Array,
                 radius: float) -> jax.Array:
-    """Out-of-radius or outside the rebased directory windows."""
-    d2 = jnp.sum((m.anchor - center) ** 2, axis=-1)
+    """Out-of-radius or outside the rebased directory windows.
+
+    Chains run in (C//128, 128) block form when the capacity allows (1-D
+    elementwise ops cost ~0.015 ms each on this chip — r5 A/B)."""
+    C = m.capacity
+    blocked = C % 128 == 0 and C >= 128
+    anchor = m.anchor
+    keys = m.keys
+    if blocked:
+        ax, ay, az = (anchor[:, i].reshape(-1, 128) for i in range(3))
+        keys = keys.reshape(-1, 128)
+    else:
+        ax, ay, az = anchor[:, 0], anchor[:, 1], anchor[:, 2]
+    dx = ax - center[0]
+    dy = ay - center[1]
+    dz = az - center[2]
+    d2 = dx * dx + dy * dy + dz * dz
     shift = _shift_key(new_origin - m.origin)
-    shifted = m.keys - shift
+    shifted = keys - shift
     rz = shifted & ((1 << _ZB) - 1)
     rx = jax.lax.shift_right_logical(shifted, _YB + _ZB)
     ry = jax.lax.shift_right_logical(shifted, _ZB) & ((1 << _YB) - 1)
@@ -810,7 +903,8 @@ def _evict_mask(m: VoxelMap, center: jax.Array, new_origin: jax.Array,
         & (rx >= _XOFF - _GHALF) & (rx < _XOFF + _GHALF)
         & (ry >= _YOFF - _GHALF) & (ry < _YOFF + _GHALF)
     )
-    return (d2 > radius * radius) | ~in_win
+    out = (d2 > radius * radius) | ~in_win
+    return out.reshape(-1) if blocked else out
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "radius", "origin_quantum"))
