@@ -71,7 +71,10 @@ def _run_stream(cfg, scans_iter, gt=None, out=None, keyframe_out=None, quiet=Fal
                  and int(diag.num_window_dropped) else {})
               | ({"downsample_dropped": int(diag.num_downsample_dropped)}
                  if diag.num_downsample_dropped is not None
-                 and int(diag.num_downsample_dropped) else {})), file=sys.stderr)
+                 and int(diag.num_downsample_dropped) else {})
+              | ({"map_saturated": True}
+                 if int(diag.map_voxels) >= cfg.map_capacity else {})),
+              file=sys.stderr)
     if out:
         trajectory.write_tum(out, stamps, ts, qs)
         print(f"wrote {out} ({len(ts)} poses)")

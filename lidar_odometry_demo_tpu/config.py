@@ -96,7 +96,17 @@ class OdometryConfig:
     max_planar_points: int = 16384  # planar-feature budget after classification
     max_match_points: int = 8192   # matching-downsample budget (0.3 m grid)
     max_update_points: int = 16384  # keyframe-update budget (0.1 m grid)
-    map_capacity: int = 131072     # voxel-table slots (2^17)
+    # voxel-table slots (2^17). When live voxels exceed capacity the
+    # table keeps the C smallest KEYS (lexicographic (x,y,z) order — a
+    # documented deviation; the reference's robin_map grows unboundedly).
+    # The default SATURATES on dense long drives (the bench simulator's
+    # 300-scan drive fills it by scan ~82 with ATE still 0.015 m — the
+    # 80 m radius eviction keeps the working set near the sensor, so the
+    # drop hits the fringe); saturation is observable as
+    # map_voxels == map_capacity in StepDiagnostics and as
+    # "map_saturated" in CLI JSON lines. Raise for fringe-complete maps
+    # at proportional per-scan cost (every table pass is C-bound).
+    map_capacity: int = 131072
     # voxel-key packing: 11/11/10 bits (x/y/z) around a rebasable integer
     # origin; rebase when the sensor drifts this far from the map origin.
     map_rebase_distance: float = 50.0

@@ -36,7 +36,12 @@ and 27-neighborhood brute-force nearest-point search under a distance gate
 returning the stored normal as the matching plane (voxel_grid.h:164-204).
 One deliberate deviation: when live voxels would exceed capacity, the
 table keeps the C smallest keys (the reference's robin_map grows without
-bound); size capacity above the radius-evicted worst case.
+bound). Dense long drives DO saturate the default capacity (the bench
+simulator fills 131072 slots by scan ~82; ATE stays ~0.015 m because
+radius eviction keeps the working set near the sensor, so the drop hits
+the fringe) — saturation is observable as map_voxels == capacity
+(StepDiagnostics / the CLI's "map_saturated" flag); raise map_capacity
+for fringe-complete maps at C-proportional per-scan cost.
 """
 
 from __future__ import annotations
