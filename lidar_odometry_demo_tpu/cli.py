@@ -214,7 +214,12 @@ def cmd_live(args):
                 "matches": int(diag.num_matches),
                 "diverged": bool(diag.diverged),
                 "map_voxels": int(diag.map_voxels),
-            }), file=sys.stderr)
+            } | ({"downsample_dropped": int(diag.num_downsample_dropped)}
+                 if diag.num_downsample_dropped is not None
+                 and int(diag.num_downsample_dropped) else {})
+              | ({"map_saturated": True}
+                 if int(diag.map_voxels) >= cfg.map_capacity else {})),
+                file=sys.stderr)
         if args.out and (i + 1) % 10 == 0:  # incremental trajectory flush
             trajectory.write_tum(args.out, stamps, ts, qs)
 

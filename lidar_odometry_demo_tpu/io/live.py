@@ -54,11 +54,14 @@ class ScanAssembler:
             delta = (az - self._last_az) % 36000
             # UDP gives no ordering guarantee: a reordered/duplicated-late
             # packet whose azimuth sits slightly BEHIND the previous one
-            # would wrap to a near-full sweep (~35,9xx centideg) and cut
-            # the revolution early. Treat large wrapped deltas as zero
-            # motion (a real sweep between consecutive packets is a few
-            # hundred centidegrees at most).
-            if delta > 34000:
+            # wraps to a near-full sweep and would cut the revolution
+            # early. Reordering displaces azimuth by at most a few
+            # packets (a VLP16 data packet spans well under 1 deg at
+            # 10 Hz), so only deltas within 2 deg of a full wrap are
+            # treated as reordering; a genuine forward gap from a packet
+            # -drop burst (even a huge one) still accumulates and cuts
+            # the revolution on schedule.
+            if delta > 35800:
                 delta = 0
             self._swept += delta
             if self._swept >= 36000.0 and self._packets:

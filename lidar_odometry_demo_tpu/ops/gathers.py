@@ -52,6 +52,9 @@ def _take_rows_vmap(axis_size, in_batched, src, idx):
         return out.reshape(*idx.shape, *src.shape[1:]), True
     N = src.shape[1]
     flat = src.reshape(B * N, *src.shape[2:])
+    # normalize negative indices BEFORE globalizing: src[-1] must wrap
+    # within the LANE (unbatched semantics), not into lane b-1's rows
+    idx = jnp.where(idx < 0, idx + N, idx)
     off = (jnp.arange(B, dtype=jnp.int32) * N)
     if idx_b:
         gidx = idx + off.reshape((B,) + (1,) * (idx.ndim - 1))

@@ -118,7 +118,7 @@ def jtwj_accumulate(source_local, plane_origin, plane_normal, valid,
     return acc[:36].reshape(6, 6), acc[36:42]
 
 
-_SUPPORTED: bool | None = None
+_SUPPORT_CACHE: dict = {}
 
 
 def jtwj_supported() -> bool:
@@ -127,11 +127,14 @@ def jtwj_supported() -> bool:
     Some TPU runtimes (the remote-tunnel compiler this repo was benched
     on — DESIGN.md §Pallas) reject it at compile time; flipping
     config.icp_use_pallas_jtwj would then kill the whole pipeline compile.
-    Callers probe this ONCE (a tiny eager compile) and fall back to the
-    XLA path with a warning instead of failing (VERDICT r4 weak #4).
+    Callers probe this once per (backend, kernel-function) — keying on
+    the function identity keeps test monkeypatches (interpret-mode
+    partials) from poisoning the real verdict and vice versa — and fall
+    back to the XLA path with a warning instead of failing (VERDICT r4
+    weak #4).
     """
-    global _SUPPORTED
-    if _SUPPORTED is None:
+    key = (jax.default_backend(), jtwj_accumulate)
+    if key not in _SUPPORT_CACHE:
         try:
             z3 = jnp.zeros((1024, 3), jnp.float32)
             H, b = jtwj_accumulate(
@@ -140,7 +143,7 @@ def jtwj_supported() -> bool:
                 huber_delta=0.15,
             )
             jax.block_until_ready((H, b))
-            _SUPPORTED = True
+            _SUPPORT_CACHE[key] = True
         except Exception:  # compile rejection, missing TPU backend, ...
-            _SUPPORTED = False
-    return _SUPPORTED
+            _SUPPORT_CACHE[key] = False
+    return _SUPPORT_CACHE[key]

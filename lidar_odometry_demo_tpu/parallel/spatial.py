@@ -132,9 +132,10 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
     # the 2-D (_NROW2 + 1, 8) form (vm.SearchIndex.dense); every 8-cell
     # row lies in a single gx column-of-columns (G is 8-divisible), so
     # ownership selects whole rows: row j covers cells [8j-8, 8j), i.e.
-    # gx = (j - 1) >> 7 at G = 1024 (rows 0 and _NROW2 are all-empty
-    # padding in every block, so their owner pick is immaterial).
-    row_gx = (jnp.arange(vm._NROW2 + 1, dtype=jnp.int32) - 1) >> 7
+    # gx = (j - 1) // (G / 8) (rows 0 and _NROW2 are all-empty padding
+    # in every block, so their owner pick is immaterial).
+    rows_per_gx = _G // 8          # 8-cell dense rows per gx column
+    row_gx = (jnp.arange(vm._NROW2 + 1, dtype=jnp.int32) - 1) // rows_per_gx
     owner_rel = (row_gx % n - r) % n
     dense_cat = jnp.full((vm._NROW2 + 1, 8), _PTR_EMPTY, jnp.int32)
     for b, (_, dense_b, _) in enumerate(blocks):
