@@ -32,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lidar_odometry_demo_tpu.config import OdometryConfig
 from lidar_odometry_demo_tpu.ops import se3
@@ -143,11 +144,19 @@ def _normal_equations(
         H = jax.lax.psum(H, axis_name)
         b = jax.lax.psum(b, axis_name)
 
-    # translation prior
+    # translation prior — added as fused constant-mask elementwise ops, not
+    # .at[3:, ...].add: the static-slice updates lower to one
+    # dynamic-update-slice leaf op EACH inside the GN loop, and the hot
+    # loop's cost on this chip is leaf-op sequencing (~2-3 us/op), not
+    # flops (r5 op-count trace: the 16 GN steps/scan contribute ~450 tiny
+    # leaf ops).
     inv_sigma = 1.0 / cfg.icp_translation_prior_sigma
     prior_w = inv_sigma * inv_sigma
-    H = H.at[3:, 3:].add(prior_w * jnp.eye(3, dtype=H.dtype))
-    b = b.at[3:].add(prior_w * (pose.t - guess_t))
+    prior_diag = np.diag(
+        np.array([0.0, 0.0, 0.0, prior_w, prior_w, prior_w], np.float32))
+    H = H + prior_diag
+    b = b + prior_w * jnp.concatenate(
+        [jnp.zeros((3,), b.dtype), pose.t - guess_t])
     return H, b
 
 
@@ -162,7 +171,7 @@ def _gn_steps(
     correspondence set (the reference's inner Ceres Solve with
     max_num_iterations=4, cloud_matcher.cpp:111,156-158)."""
 
-    def body(_, carry):
+    def body(carry):
         pose, _ = carry
         H, b = _normal_equations(corr, pose, guess_t, cfg, axis_name)
         H = H + cfg.icp_damping * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
@@ -170,9 +179,15 @@ def _gn_steps(
         new_pose = se3.apply_delta(pose, delta)
         return new_pose, jnp.linalg.norm(delta)
 
-    return jax.lax.fori_loop(
-        0, cfg.icp_inner_iterations, body, (pose, jnp.float32(1e9))
-    )
+    # UNROLLED, not fori_loop: the trip count is a small static config
+    # constant (the reference's Ceres max_num_iterations=4), and each
+    # fori iteration pays loop-boundary dispatch on top of the ~30 tiny
+    # leaf ops of the scalar 6x6 solve + pose update; unrolling lets XLA
+    # fuse across step boundaries (r5 op-count trace).
+    carry = (pose, jnp.float32(1e9))
+    for _ in range(cfg.icp_inner_iterations):
+        carry = body(carry)
+    return carry
 
 
 def make_align(cfg: OdometryConfig, axis_name: str | None = None,

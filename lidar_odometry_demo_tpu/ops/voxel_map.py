@@ -77,19 +77,30 @@ def _align8(n: int) -> int:
 
 
 def _lanes(K: int):
-    """Lane layout of one table row for max_points = K.
+    """Lane layout of one table row for max_points = K (format v6).
 
     [0 : K)             stored point x coords, f32 bitcast (PLANAR)
     [K : 2K)            stored point y coords, f32 bitcast
     [2K : 3K)           stored point z coords, f32 bitcast
-    [3K]                the count, stored as f32 bitcast (the ONLY count:
-                        search rows carry it, and int consumers convert —
-                        values <= K are exact in f32)
+    [3K]                the count, stored as f32 bitcast — the SEARCH
+                        copy: candidate rows carry it and the match gates
+                        lanes on it (values <= K are exact in f32). The
+                        authoritative count is the VoxelMap.count vector;
+                        rows of evicted voxels may hold a stale lane (they
+                        are unreachable: the directory only indexes live
+                        keys).
     [RW : RW + 3K)      stored normals, f32 bitcast interleaved (x,y,z)
                         per point;  RW = align8(3K + 1)
-    [MB]                packed voxel key (int32)      MB = RW + 3K
-    [MB + 1 : MB + 4)   anchor = first stored point, f32 bitcast
-    width W = align8(MB + 4)
+    [MB : MB + 3)       anchor = first stored point, f32 bitcast;
+                        MB = RW + 3K
+    width W = align8(MB + 3)
+
+    The packed voxel key is NOT in the row (it was, through format v5):
+    keys and counts live as separate (C,) vectors in VoxelMap, because
+    they fall out of the per-scan merge sort for free — stamping them
+    back into table lanes cost a 0.44 ms/scan 5-way full-table
+    concatenate (r5 xplane trace), the single largest above-floor op in
+    map_update.
 
     Points are PLANAR (xx..yy..zz), not interleaved: the correspondence
     match then reads each coordinate as a contiguous lane slice of the
@@ -107,17 +118,24 @@ def _lanes(K: int):
     """
     RW = _align8(3 * K + 1)
     MB = RW + 3 * K
-    W = _align8(MB + 4)
+    W = _align8(MB + 3)
     return RW, MB, W
 
 
 class VoxelMap(NamedTuple):
     """Fixed-capacity voxel table, rows sorted by packed key.
 
-    tab:    (C, W) int32 fused rows (see _lanes); EMPTY_KEY rows pad the
-            tail. Sorted order is maintained by construction: rebase is a
-            uniform key shift (order-preserving) and insertion ends with a
-            merge gather by the sorted order of (old keys ++ fresh keys).
+    tab:    (C, W) int32 fused rows (see _lanes). Sorted order is
+            maintained by construction: rebase is a uniform key shift
+            (order-preserving) and insertion ends with a merge gather by
+            the sorted order of (old keys ++ fresh keys).
+    keys:   (C,) int32 packed voxel key per row; EMPTY_KEY pads the tail.
+            A separate vector, not a table lane (format v6): it falls out
+            of the per-scan merge sort for free, whereas stamping it back
+            into a lane cost a 0.44 ms/scan full-table concatenate.
+    count:  (C,) int32 stored-point count per row (authoritative; the f32
+            lane at 3K inside each row is the search copy, stamped for
+            touched rows by the insert scatter).
     origin: (3,) int32 integer-index origin the keys are relative to.
     kdim:   (1, K) int32 marker carrying max_points statically (the lane
             layout is not invertible from W alone; one row rather than
@@ -125,6 +143,8 @@ class VoxelMap(NamedTuple):
     """
 
     tab: jax.Array
+    keys: jax.Array
+    count: jax.Array
     origin: jax.Array
     kdim: jax.Array
 
@@ -137,21 +157,10 @@ class VoxelMap(NamedTuple):
         return self.tab.shape[-2]
 
     @property
-    def keys(self) -> jax.Array:
-        _, MB, _ = _lanes(self.max_points)
-        return self.tab[..., MB]
-
-    @property
-    def count(self) -> jax.Array:
-        K = self.max_points
-        return jax.lax.bitcast_convert_type(
-            self.tab[..., 3 * K], jnp.float32).astype(jnp.int32)
-
-    @property
     def anchor(self) -> jax.Array:
         _, MB, _ = _lanes(self.max_points)
         return jax.lax.bitcast_convert_type(
-            self.tab[..., MB + 1 : MB + 4], jnp.float32)
+            self.tab[..., MB : MB + 3], jnp.float32)
 
     @property
     def pts(self) -> jax.Array:
@@ -257,10 +266,11 @@ def map_init(capacity: int, max_points: int) -> VoxelMap:
     # per 128-lane row (see SearchIndex.desc); spatial shard capacities
     # must also be 16-divisible so composite desc rows stay slot-aligned
     assert capacity % 16 == 0, f"map capacity must be 16-divisible, got {capacity}"
-    _, MB, W = _lanes(max_points)
-    tab = jnp.zeros((capacity, W), jnp.int32).at[:, MB].set(EMPTY_KEY)
+    _, _, W = _lanes(max_points)
     return VoxelMap(
-        tab=tab,
+        tab=jnp.zeros((capacity, W), jnp.int32),
+        keys=jnp.full((capacity,), EMPTY_KEY, jnp.int32),
+        count=jnp.zeros((capacity,), jnp.int32),
         origin=jnp.zeros((3,), jnp.int32),
         kdim=jnp.zeros((1, max_points), jnp.int32),
     )
@@ -684,13 +694,16 @@ def _update_impl(
     2. Incoming points (sorted by key; stable sort keeps input order so
        first-come-kept capping is deterministic) are written into an
        extended row space [tab ++ fresh rows] with one fused flat element
-       scatter (points, normals, anchors): found groups append into their
-       existing row at lanes [count..K), fresh groups build their row at
-       C + leader.
+       scatter (points, normals, anchors, per-leader f32 count lanes):
+       found groups append into their existing row at lanes [count..K),
+       fresh groups build their row at C + leader.
     3. ONE sort of the (C + N_in) key vector (carrying the row permutation
        and count vector) and ONE (C,)-row gather permute the extended rows
-       back into a sorted C-row table. At capacity overflow the C smallest
-       keys win (documented deviation; the reference grows).
+       back into a sorted C-row table. The new keys/count VECTORS are
+       prefixes of the sort outputs — free; nothing is stamped back into
+       table lanes (the r5 5-way lane concatenate cost 0.444 ms/scan,
+       4x its stream floor). At capacity overflow the C smallest keys win
+       (documented deviation; the reference grows).
     """
     C, K = m.capacity, m.max_points
     RW, MB, W = _lanes(K)
@@ -796,12 +809,20 @@ def _update_impl(
     bits = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
     # planar point lanes: coord c of point k lives at lane c*K + k
     planar_l = np.arange(3, dtype=np.int32)[None, :] * np.int32(K)
+    # the in-row f32 count lane (the SEARCH copy — candidate rows gate
+    # lanes on it) rides the same fused scatter, stamped at every leader:
+    # found rows grow/reset, fresh rows initialize. Untouched live rows
+    # keep their correct lane; evicted-untouched rows keep a stale lane
+    # that is unreachable (their key leaves the directory).
+    cnt_lane = np.int32(3 * K) + jnp.zeros((n, 1), jnp.int32)
+    cnt_val = bits(new_count.astype(jnp.float32))[:, None]
     groups = (
         # (rows, lanes, int32 values, mask)
         (b3(ext_slot), write_idx[:, None] + planar_l, bits(sxyz), b3(keep)),
         (b3(ext_slot), (RW + 3 * write_idx)[:, None] + l3, bits(snrm), b3(keep)),
-        (b3(ext_slot), (MB + 1) + jnp.zeros((n, 1), jnp.int32) + l3,
+        (b3(ext_slot), MB + jnp.zeros((n, 1), jnp.int32) + l3,
          bits(sxyz), b3(anch)),
+        (ext_slot[:, None], cnt_lane, cnt_val, leader[:, None]),
     )
     rows_all = jnp.concatenate([g[0].reshape(-1) for g in groups])
     lanes_all = jnp.concatenate([g[1].reshape(-1) for g in groups])
@@ -823,30 +844,19 @@ def _update_impl(
                   total_rows + jnp.arange(n_in, dtype=jnp.int32))
     ].set(new_count, mode="drop", unique_indices=True)
 
-    # --- merge permute: one 3-array sort + one C-row gather whose OUTPUT
-    # is assembled lane-sliced with the sorted key/count vectors (one
-    # concatenate fusing the gather slices = ONE table write; stamping
-    # the lanes afterwards with .at[].set cost two full-table
-    # dynamic-update-slice copies, 0.68 ms/scan in the r4 xplane trace) ---
+    # --- merge permute: one 3-array sort + one C-row gather. The gather
+    # output IS the new table: keys/count live as separate vectors
+    # (prefixes of the sort outputs), and the in-row f32 count lane was
+    # stamped by the fused scatter above — the previous lane-stamp
+    # concatenate cost 0.444 ms/scan (4x its stream floor, r5 xplane) ---
     iota_ext = jnp.arange(total_rows, dtype=jnp.int32)
     sorted_keys, order, sorted_cnt = jax.lax.sort(
         (keys_ext, iota_ext, count_ext), num_keys=1, is_stable=True)
     oc = order[:C]
-    cntf = jax.lax.bitcast_convert_type(
-        sorted_cnt[:C].astype(jnp.float32), jnp.int32)
     gathered = tab_ext[oc]  # ONE full-row gather (lane-sliced gathers
     # lowered to a ~33x degraded mode on this chip — r4 bench bisect)
-    new_tab = jnp.concatenate(
-        [
-            gathered[:, : 3 * K],
-            cntf[:, None],
-            gathered[:, 3 * K + 1 : MB],
-            sorted_keys[:C, None],
-            gathered[:, MB + 1 :],
-        ],
-        axis=1,
-    )
-    return VoxelMap(tab=new_tab, origin=new_origin, kdim=m.kdim)
+    return VoxelMap(tab=gathered, keys=sorted_keys[:C], count=sorted_cnt[:C],
+                    origin=new_origin, kdim=m.kdim)
 
 
 @partial(jax.jit, static_argnames=("voxel_size",))

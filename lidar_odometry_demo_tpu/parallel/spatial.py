@@ -123,7 +123,7 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
         perm = [(int((i + src_offset) % n), i) for i in range(n)]
         return jax.lax.ppermute(x, axis, perm)
 
-    blocks = [(m.tab, index.dense, index.desc)]
+    blocks = [(m.tab, m.keys, m.count, index.dense, index.desc)]
     for off in (1, n - 1):  # next, prev (same device twice when n == 2)
         blocks.append(tuple(from_rank(off, x) for x in blocks[0]))
 
@@ -138,15 +138,18 @@ def build_halo_view(m: VoxelMap, index: SearchIndex, axis: str) -> HaloView:
     row_gx = (jnp.arange(vm._NROW2 + 1, dtype=jnp.int32) - 1) // rows_per_gx
     owner_rel = (row_gx % n - r) % n
     dense_cat = jnp.full((vm._NROW2 + 1, 8), _PTR_EMPTY, jnp.int32)
-    for b, (_, dense_b, _) in enumerate(blocks):
+    for b, (_, _, _, dense_b, _) in enumerate(blocks):
         sel = (owner_rel == (0, 1, n - 1)[b])[:, None]
         shifted = jnp.where(dense_b == _PTR_EMPTY, _PTR_EMPTY,
                             dense_b + np.int32(b) * S)
         dense_cat = jnp.where(sel, shifted, dense_cat)
 
     tab_cat = jnp.concatenate([b[0] for b in blocks])
-    desc_cat = jnp.concatenate([b[2] for b in blocks])
-    view_m = VoxelMap(tab=tab_cat, origin=m.origin, kdim=m.kdim)
+    keys_cat = jnp.concatenate([b[1] for b in blocks])
+    count_cat = jnp.concatenate([b[2] for b in blocks])
+    desc_cat = jnp.concatenate([b[4] for b in blocks])
+    view_m = VoxelMap(tab=tab_cat, keys=keys_cat, count=count_cat,
+                      origin=m.origin, kdim=m.kdim)
 
     # candidate rows of the composite: a plain padded slice of the
     # concatenated table (r5: no 3x-wide triple-row build anymore)

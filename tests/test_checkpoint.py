@@ -162,10 +162,39 @@ def test_unknown_format_version_rejected(tmp_path):
         checkpoint.load_npz(path)
 
 
-def test_legacy_v4_checkpoint_migrates(tmp_path):
-    """A round-4 interleaved-point 128-lane npz (format_version=4) must
-    migrate into the v5 planar-lane layout; widths are identical for every
-    K so only the version tag distinguishes them."""
+def _legacy_v45_npz(m, state, planar: bool):
+    """Synthesize a v4 (interleaved) or v5 (planar) legacy npz dict via the
+    OLD lane math: key at MB, anchor at MB+1..MB+4, W = align8(MB + 4)."""
+    k = m.max_points
+    c = m.capacity
+    align8 = lambda n: -(-n // 8) * 8
+    rw = align8(3 * k + 1)
+    mb = rw + 3 * k
+    w_old = align8(mb + 4)
+    tab = np.zeros((c, w_old), np.int32)
+    pts = np.asarray(m.pts)  # (c, k, 3)
+    if planar:
+        tab[:, : 3 * k] = (
+            np.swapaxes(pts, 1, 2).reshape(c, 3 * k).view(np.int32))
+    else:
+        tab[:, : 3 * k] = pts.reshape(c, 3 * k).view(np.int32)
+    tab[:, 3 * k] = np.asarray(m.count).astype(np.float32).view(np.int32)
+    tab[:, rw : rw + 3 * k] = np.asarray(m.nrm).reshape(c, 3 * k).view(np.int32)
+    tab[:, mb] = np.asarray(m.keys)
+    tab[:, mb + 1 : mb + 4] = np.asarray(m.anchor).view(np.int32)
+    return {
+        "keyframe.tab": tab,
+        "keyframe.origin": np.asarray(m.origin),
+        "keyframe.kdim": np.zeros((1, k), np.int32),
+        "current.t": np.asarray(state.current.t),
+        "current.q": np.asarray(state.current.q),
+        "previous.t": np.asarray(state.previous.t),
+        "previous.q": np.asarray(state.previous.q),
+        "format_version": np.int32(5 if planar else 4),
+    }
+
+
+def _check_v45_migration(tmp_path, planar: bool):
     from lidar_odometry_demo_tpu.ops import voxel_map as vm
 
     drive = simulate_sequence(num_scans=3, width=900, seed=9, speed=2.5)
@@ -173,27 +202,26 @@ def test_legacy_v4_checkpoint_migrates(tmp_path):
     for s in drive.scans:
         odo.process_cloud(s["xyz"], s["intensity"], s["ring"], s["time"])
     m = odo.state.keyframe
-    k = m.max_points
-    c = m.capacity
-
-    # build the v4 table: same lanes as v5 but points interleaved xyzxyz
-    tab4 = np.asarray(m.tab).copy()
-    pts = np.asarray(m.pts)  # (c, k, 3)
-    tab4[:, : 3 * k] = pts.reshape(c, 3 * k).view(np.int32)
-
-    v4 = {
-        "keyframe.tab": tab4,
-        "keyframe.origin": np.asarray(m.origin),
-        "keyframe.kdim": np.zeros((1, k), np.int32),
-        "current.t": np.asarray(odo.state.current.t),
-        "current.q": np.asarray(odo.state.current.q),
-        "previous.t": np.asarray(odo.state.previous.t),
-        "previous.q": np.asarray(odo.state.previous.q),
-        "format_version": np.int32(4),
-    }
-    path = str(tmp_path / "v4.npz")
-    np.savez_compressed(path, **v4)
+    path = str(tmp_path / "legacy45.npz")
+    np.savez_compressed(path, **_legacy_v45_npz(m, odo.state, planar))
     state = checkpoint.load_npz(path)
     kf = state.keyframe
-    np.testing.assert_array_equal(np.asarray(kf.tab), np.asarray(m.tab))
-    np.testing.assert_array_equal(np.asarray(kf.pts), pts)
+    np.testing.assert_array_equal(np.asarray(kf.keys), np.asarray(m.keys))
+    np.testing.assert_array_equal(np.asarray(kf.count), np.asarray(m.count))
+    np.testing.assert_array_equal(np.asarray(kf.pts), np.asarray(m.pts))
+    np.testing.assert_array_equal(np.asarray(kf.nrm), np.asarray(m.nrm))
+    np.testing.assert_array_equal(np.asarray(kf.anchor), np.asarray(m.anchor))
+    assert int(vm.map_size(kf)) == int(vm.map_size(m))
+
+
+def test_legacy_v4_checkpoint_migrates(tmp_path):
+    """A round-4 interleaved-point npz (format_version=4: key lane at MB,
+    anchor at MB+1..MB+4) must migrate into the v6 split-vector layout."""
+    _check_v45_migration(tmp_path, planar=False)
+
+
+def test_legacy_v5_checkpoint_migrates(tmp_path):
+    """A round-5 planar-point npz (format_version=5) must migrate into the
+    v6 split-vector layout — same width for K=20, so only the version tag
+    and the vanished key lane distinguish them."""
+    _check_v45_migration(tmp_path, planar=True)
