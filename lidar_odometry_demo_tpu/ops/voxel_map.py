@@ -347,19 +347,32 @@ def downsample(pts: PointsWithNormals, voxel_size: float, budget: int,
     pad = budget - take
     zero_origin = jnp.zeros((3,), jnp.int32)
     keys = pack_keys(voxel_indices(pts.xyz, voxel_size), zero_origin, pts.valid)
-    order = jnp.argsort(keys, stable=True)  # ties keep input order
-    sorted_keys = keys[order]
+    # one multi-operand sort carries the permutation with the keys: the
+    # jnp.argsort + keys[order] form pays a ~0.19 ms 1-D element gather
+    # at the planar shape (and an 8-lane row-gather disguise gets
+    # narrowed back to a scalar gather by XLA since only lane 0 is used)
+    sorted_keys, order = jax.lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)  # ties keep input order
     leader, _, _ = _group_structure(sorted_keys)
     n_leaders = jnp.sum(leader.astype(jnp.int32))
-    # compact leaders to the front (stable: stays in key order)
+    # compact leaders to the front (stable: stays in key order). The two
+    # compaction reads ride ONE 8-lane row gather of a packed
+    # [order | leader] array: separate 1-D element gathers run ~150 M
+    # elem/s on this chip (~0.1 ms each at scan shapes) where row
+    # gathers of small row-major sources are ~5x faster (r5 trace).
     comp = jnp.argsort(~leader, stable=True)[:take]
-    src = order[comp]
-    ok = leader[comp] & (jnp.arange(take) < n_leaders)
-    out = PointsWithNormals(
-        xyz=jnp.where(ok[:, None], pts.xyz[src], 0.0),
-        normal=jnp.where(ok[:, None], pts.normal[src], 0.0),
-        valid=ok,
-    )
+    packed = jnp.concatenate(
+        [order[:, None], leader.astype(jnp.int32)[:, None],
+         jnp.zeros((n, 6), jnp.int32)], axis=1)
+    g = packed[comp]
+    src = g[:, 0]
+    ok = (g[:, 1] != 0) & (jnp.arange(take) < n_leaders)
+    # one fused [xyz | normal] row gather instead of two (n, 3) gathers
+    pn = jnp.concatenate(
+        [pts.xyz, pts.normal, jnp.zeros((n, 2), pts.xyz.dtype)], axis=1)
+    gp = jnp.where(ok[:, None], pn[src], 0.0)
+    out = PointsWithNormals(xyz=gp[:, :3], normal=gp[:, 3:6], valid=ok)
     if pad:
         out = PointsWithNormals(
             xyz=jnp.concatenate([out.xyz, jnp.zeros((pad, 3), out.xyz.dtype)]),
@@ -726,9 +739,17 @@ def _update_impl(
     keys_in = pack_keys(voxel_indices(new.xyz, voxel_size), new_origin,
                         new.valid, map_window=True)
     order_in = jnp.argsort(keys_in, stable=True)
-    skeys = keys_in[order_in]
-    sxyz = new.xyz[order_in]
-    snrm = new.normal[order_in]
+    # ONE 8-lane row gather fetches key+point+normal per sorted element
+    # ([key | xyz | nrm | pad]): the separate keys_in[order_in] element
+    # gather alone cost ~0.08 ms (1-D gathers run ~150 M elem/s here)
+    bits_in = lambda f: jax.lax.bitcast_convert_type(f, jnp.int32)
+    packed_in = jnp.concatenate(
+        [keys_in[:, None], bits_in(new.xyz), bits_in(new.normal),
+         jnp.zeros((n_in, 1), jnp.int32)], axis=1)
+    sorted_in = packed_in[order_in] if n_in else packed_in
+    skeys = sorted_in[:, 0]
+    sxyz = jax.lax.bitcast_convert_type(sorted_in[:, 1:4], jnp.float32)
+    snrm = jax.lax.bitcast_convert_type(sorted_in[:, 4:7], jnp.float32)
     leader, rank, start = _group_structure(skeys)
     valid_e = skeys != EMPTY_KEY
 
@@ -770,11 +791,16 @@ def _update_impl(
         [m.tab, jnp.zeros((n_in, W), jnp.int32)], axis=0)
     total_rows = C + n_in
 
-    # --- per-element write positions ---
-    base = jnp.where(found, count1[pos_c], 0)
-    ext_slot = jnp.where(found, pos_c, C + start)
-    base = base[start]          # broadcast from leader
-    ext_slot = ext_slot[start]
+    # --- per-element write positions (leader broadcast as ONE row gather
+    # of a packed [base | ext_slot] array — see the sorted_in note) ---
+    base_l = jnp.where(found, count1[pos_c], 0)
+    ext_l = jnp.where(found, pos_c, C + start)
+    bs = jnp.concatenate(
+        [base_l[:, None], ext_l[:, None], jnp.zeros((n_in, 6), jnp.int32)],
+        axis=1)
+    g_bs = bs[start] if n_in else bs
+    base = g_bs[:, 0]
+    ext_slot = g_bs[:, 1]
     write_idx = base + rank
     keep = valid_e & (write_idx < K)
 
@@ -1002,6 +1028,12 @@ def _neighborhood_slots(
     # 15-35x slower (scripts/r05_primitives.py). Out-of-range columns
     # read garbage lanes but are masked by col_ok.
     gy0 = base_idx[:, 1] + _GHALF                  # (Q,)
+    # row-PAIR view: one 16-lane gather per dx instead of two 8-lane
+    # gathers at rows j and j+1 — 8-lane row gathers run ~90 M rows/s on
+    # this chip, so the six (Q, 8) gathers cost ~0.55 ms/scan and the
+    # pairing halves them (the 16-lane concat build is one cheap pass)
+    dense2 = jnp.concatenate(
+        [index.dense[:-1], index.dense[1:]], axis=1)   # (_NROW2, 16)
     start_cols = []
     for dx in (-1, 0, 1):
         gxd = base_idx[:, 0] + _GHALF + dx
@@ -1009,9 +1041,9 @@ def _neighborhood_slots(
         j = jnp.clip(jax.lax.shift_right_logical(
             jnp.maximum(cidx, 0), 3), 0, _NROW2 - 1)
         lane0 = cidx & 7
-        ra = index.dense[j]                        # (Q, 8)
-        rb = index.dense[j + 1]                    # (Q, 8)
-        start_cols.extend(_lane_select(ra, rb, lane0, 3))  # dy = -1, 0, +1
+        r16 = dense2[j]                            # (Q, 16)
+        start_cols.extend(
+            _lane_select(r16[..., :8], r16[..., 8:], lane0, 3))  # dy=-1,0,+1
     # (9, Q) in (dx, dy) order — identical to _COLUMN_OFFSETS scan order
     start = jnp.stack(start_cols, axis=0)
     start = jnp.where(col_ok, start, _PTR_EMPTY)
